@@ -1,0 +1,50 @@
+"""Engine configuration.
+
+``CrawlConfig`` mirrors the reference's ``CrawlerConfig`` politeness budget
+(``crawler/models/data_models.py:149-197``) and adds the knobs a distributed
+frontier needs (shard counts, batch sizes, rng seed for deterministic
+jitter). Defaults equal the reference's defaults.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    # politeness budget (reference defaults, data_models.py:160-165)
+    default_delay: float = 3.0
+    max_retries: int = 3
+    jitter_range: tuple[float, float] = (0.5, 2.0)
+    relevance_threshold: float = 0.5
+    max_comment_pages: int = 3
+    cache_ttl: int = 3600
+
+    # per-host delay overrides (rate_limiter.py:74-85)
+    host_delays: dict[str, float] = field(default_factory=dict)
+
+    # deterministic jitter / UA rotation seed — the reference uses an
+    # unseeded ``random`` (rate_limiter.py:152, content_crawler.py:103);
+    # we pin a seed so runs and the conformance simulator agree.
+    rng_seed: int = 42
+
+    # jitter on/off (rate_limiter.py:49)
+    jitter_enabled: bool = True
+
+    # --- distributed-engine knobs (new) ---
+    num_frontier_shards: int = 8       # hash(host) % shards
+    fetch_concurrency: int = 8         # fetch actor pool size
+    parse_batch_size: int = 256
+    seen_exact: bool = True            # exact seen-set (conformance) vs bloom
+    bloom_capacity: int = 1 << 20      # per-shard expected insertions
+    bloom_fpp: float = 1e-4
+    # virtual politeness clock: grant times are simulated deterministically
+    # instead of sleeping (corpus-backed fetch has no real remote to protect;
+    # a live HTTP deployment sets this False to enforce wall-clock pacing).
+    virtual_clock: bool = True
+
+    def __post_init__(self) -> None:
+        jmin, jmax = self.jitter_range
+        if jmin < 0 or jmin > jmax:
+            raise ValueError("invalid jitter_range")

@@ -1,0 +1,321 @@
+"""A minimal HTML DOM with a CSS-selector subset (stdlib-only).
+
+The reference parsers use BeautifulSoup+lxml (``crawler/parsers/generic.py:80``
+et al.); neither library exists in this environment, so extraction is
+rebuilt on ``html.parser`` with exactly the operations the reference relies
+on:
+
+- ``select_one`` / ``select`` with compound selectors (``tag``, ``.class``,
+  ``#id``, ``tag.class``, ``tag[attr]``) and descendant / child (``>``) /
+  adjacent-sibling (``+``) combinators — covers every selector string used
+  by the four reference parsers.
+- ``find`` / ``find_all`` by tag name(s), class regex, or text regex.
+- ``get_text(separator, strip)`` with BeautifulSoup semantics: join all
+  descendant text nodes in document order; when ``strip=True`` each string
+  is stripped and empty strings are skipped.
+- ``decompose`` (detach a subtree), attribute access.
+
+The corpus HTML is generated well-formed (sources/corpus.py), so the
+error-recovery differences between lxml and html.parser never trigger.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Iterator, Optional
+
+VOID_ELEMENTS = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+# script/style contents are raw text (CDATA-ish)
+RAWTEXT_ELEMENTS = {"script", "style"}
+
+
+class TextNode:
+    __slots__ = ("text", "parent")
+
+    def __init__(self, text: str, parent: "Element | None"):
+        self.text = text
+        self.parent = parent
+
+
+class Element:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Element | TextNode] = []
+        self.parent = parent
+
+    # -- attribute helpers -------------------------------------------------
+    def has_attr(self, name: str) -> bool:
+        return name in self.attrs
+
+    def get(self, name: str, default=None):
+        return self.attrs.get(name, default)
+
+    def __getitem__(self, name: str) -> str:
+        return self.attrs[name]
+
+    @property
+    def classes(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+    # -- traversal ---------------------------------------------------------
+    def iter_elements(self) -> Iterator["Element"]:
+        """All descendant elements in document order (excluding self)."""
+        for child in self.children:
+            if isinstance(child, Element):
+                yield child
+                yield from child.iter_elements()
+
+    def iter_text_nodes(self) -> Iterator[TextNode]:
+        for child in self.children:
+            if isinstance(child, TextNode):
+                yield child
+            else:
+                yield from child.iter_text_nodes()
+
+    def element_children(self) -> list["Element"]:
+        return [c for c in self.children if isinstance(c, Element)]
+
+    def previous_element_sibling(self) -> Optional["Element"]:
+        if self.parent is None:
+            return None
+        prev = None
+        for child in self.parent.children:
+            if child is self:
+                return prev
+            if isinstance(child, Element):
+                prev = child
+        return None
+
+    # -- text --------------------------------------------------------------
+    def get_text(self, separator: str = "", strip: bool = False) -> str:
+        parts = []
+        for node in self.iter_text_nodes():
+            s = node.text
+            if strip:
+                s = s.strip()
+                if not s:
+                    continue
+            parts.append(s)
+        return separator.join(parts)
+
+    # -- mutation ----------------------------------------------------------
+    def decompose(self) -> None:
+        if self.parent is not None:
+            self.parent.children = [c for c in self.parent.children if c is not self]
+            self.parent = None
+
+    # -- queries -----------------------------------------------------------
+    def select(self, selector: str) -> list["Element"]:
+        compiled = _parse_selector(selector)
+        return [el for el in self.iter_elements() if _matches_chain(el, compiled, scope=self)]
+
+    def select_one(self, selector: str) -> Optional["Element"]:
+        compiled = _parse_selector(selector)
+        for el in self.iter_elements():
+            if _matches_chain(el, compiled, scope=self):
+                return el
+        return None
+
+    def find(self, tag: str) -> Optional["Element"]:
+        for el in self.iter_elements():
+            if el.tag == tag:
+                return el
+        return None
+
+    def find_all(
+        self,
+        tags: str | list[str] | None = None,
+        class_: "re.Pattern | str | None" = None,
+        string: "re.Pattern | None" = None,
+    ):
+        """Subset of bs4 find_all used by the reference parsers.
+
+        - ``tags``: tag name or list of tag names.
+        - ``class_``: regex matched against each individual class value.
+        - ``string``: regex over text nodes; returns the TextNodes.
+        """
+        if string is not None:
+            return [t for t in self.iter_text_nodes() if string.search(t.text)]
+        if isinstance(tags, str):
+            tags = [tags]
+        out = []
+        for el in self.iter_elements():
+            if tags is not None and el.tag not in tags:
+                continue
+            if class_ is not None:
+                if isinstance(class_, str):
+                    if class_ not in el.classes:
+                        continue
+                else:
+                    if not any(class_.search(c) for c in el.classes):
+                        continue
+            out.append(el)
+        return out
+
+    def __repr__(self):  # pragma: no cover - debugging aid
+        return f"<{self.tag} {self.attrs}>"
+
+
+# ---------------------------------------------------------------------------
+# Selector machinery
+# ---------------------------------------------------------------------------
+
+_SIMPLE_RE = re.compile(
+    r"^(?P<tag>[a-zA-Z][a-zA-Z0-9-]*|\*)?"
+    r"(?P<rest>(?:[.#][\w-]+|\[[\w-]+\])*)$"
+)
+_PART_RE = re.compile(r"([.#])([\w-]+)|\[([\w-]+)\]")
+
+
+class _Simple:
+    __slots__ = ("tag", "ids", "classes", "attrs")
+
+    def __init__(self, token: str):
+        m = _SIMPLE_RE.match(token)
+        if not m:
+            raise ValueError(f"unsupported selector token: {token!r}")
+        self.tag = m.group("tag") if m.group("tag") not in (None, "*") else None
+        self.ids: list[str] = []
+        self.classes: list[str] = []
+        self.attrs: list[str] = []
+        for pm in _PART_RE.finditer(m.group("rest") or ""):
+            if pm.group(1) == ".":
+                self.classes.append(pm.group(2))
+            elif pm.group(1) == "#":
+                self.ids.append(pm.group(2))
+            else:
+                self.attrs.append(pm.group(3))
+
+    def matches(self, el: Element) -> bool:
+        if self.tag is not None and el.tag != self.tag:
+            return False
+        if self.ids and el.attrs.get("id") not in self.ids:
+            return False
+        el_classes = el.classes
+        for c in self.classes:
+            if c not in el_classes:
+                return False
+        for a in self.attrs:
+            if a not in el.attrs:
+                return False
+        return True
+
+
+def _parse_selector(selector: str):
+    """Parse into [(combinator, _Simple), ...] right-to-left.
+
+    combinator is one of "" (rightmost), " " (descendant), ">" (child),
+    "+" (adjacent sibling).
+    """
+    tokens = selector.replace(">", " > ").replace("+", " + ").split()
+    chain: list[tuple[str, _Simple]] = []
+    combinator = ""
+    pending = " "
+    for tok in tokens:
+        if tok in (">", "+"):
+            pending = tok
+            continue
+        chain.append((pending, _Simple(tok)))
+        pending = " "
+    # chain[i] = (combinator linking chain[i-1] -> chain[i], simple);
+    # the subject of the selector is the last entry.
+    return chain
+
+
+def _matches_chain(el: Element, chain, scope: Element) -> bool:
+    """Match el against a parsed selector chain (subject = last entry)."""
+    idx = len(chain) - 1
+    _, subject = chain[idx]
+    if not subject.matches(el):
+        return False
+    return _match_rest(el, chain, idx, scope)
+
+
+def _match_rest(el: Element, chain, idx: int, scope: Element) -> bool:
+    if idx == 0:
+        return True
+    comb, _ = chain[idx]  # combinator between chain[idx-1] and chain[idx]
+    _, left = chain[idx - 1]
+    if comb == " ":
+        anc = el.parent
+        while anc is not None and anc is not scope.parent:
+            if isinstance(anc, Element) and left.matches(anc):
+                if _match_rest(anc, chain, idx - 1, scope):
+                    return True
+            anc = anc.parent
+        return False
+    if comb == ">":
+        p = el.parent
+        if p is not None and isinstance(p, Element) and left.matches(p):
+            return _match_rest(p, chain, idx - 1, scope)
+        return False
+    if comb == "+":
+        sib = el.previous_element_sibling()
+        if sib is not None and left.matches(sib):
+            return _match_rest(sib, chain, idx - 1, scope)
+        return False
+    raise ValueError(f"unsupported combinator: {comb!r}")
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Element("[document]", {}, None)
+        self.stack: list[Element] = [self.root]
+        self._rawtext_tag: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        attr_dict = {}
+        for k, v in attrs:
+            if k not in attr_dict:
+                attr_dict[k] = v if v is not None else ""
+        el = Element(tag, attr_dict, self.stack[-1])
+        self.stack[-1].children.append(el)
+        if tag in VOID_ELEMENTS:
+            return
+        self.stack.append(el)
+        if tag in RAWTEXT_ELEMENTS:
+            self._rawtext_tag = tag
+
+    def handle_startendtag(self, tag, attrs):
+        attr_dict = {}
+        for k, v in attrs:
+            if k not in attr_dict:
+                attr_dict[k] = v if v is not None else ""
+        el = Element(tag, attr_dict, self.stack[-1])
+        self.stack[-1].children.append(el)
+
+    def handle_endtag(self, tag):
+        if tag in VOID_ELEMENTS:
+            return
+        # pop until matching tag (tolerates mild mis-nesting)
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+        if self._rawtext_tag == tag:
+            self._rawtext_tag = None
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(TextNode(data, self.stack[-1]))
+
+
+def parse_html(html: str) -> Element:
+    """Parse an HTML string into a document root Element."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root

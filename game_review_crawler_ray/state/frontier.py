@@ -1,0 +1,274 @@
+"""Sharded URL frontier: politeness + seen-set + robots + lineage.
+
+This is the engine's replacement for the reference's process-local trio of
+``RateLimiter`` (crawler/utils/rate_limiter.py), the dedup ``seen`` set
+(crawler/utils/url_deduplicator.py:53-62) and the (absent) robots handling.
+Hosts are sharded by ``hash(host) % num_shards``; because a normalized URL
+determines its host, one sharding key serves both the per-host politeness
+state and the URL-seen set — no cross-shard coordination is ever needed for
+a single URL.
+
+Each shard is a Ray actor (wrapped in pipelines/crawl.py) holding:
+
+- a seen-set shard (``ExactSeen`` for conformance, ``BloomSeen`` at scale),
+- per-host politeness state: virtual next-free clock, deterministic jitter
+  (seeded per (host, k) — the reference uses unseeded ``random.uniform``,
+  rate_limiter.py:152), retry counters, exponential ``2^n`` backoff and
+  suspension after ``max_retries`` (rate_limiter.py:213-257),
+- a robots.txt cache per host (allow-all until ``set_robots``),
+- the ``fetch_log`` lineage buffer, periodically flushed to Parquet so a
+  killed run resumes from the last flush (at-least-once re-crawl of the
+  unflushed tail).
+
+Politeness semantics: the reference enforces "gap since last same-host
+request >= delay + jitter" by sleeping inline in a serial loop
+(rate_limiter.py:163-211). The engine schedules grants on a per-host
+virtual clock: t_0 = 0, t_k = t_{k-1} + delay + jitter_k — which implies
+the same per-host inter-arrival invariant (verified from fetch_log in
+tests) without serializing the whole pipeline on sleeps. Crawl *order*
+conformance is carried by ``discovered_seq`` (= seed rank of the first
+occurrence), the quantity the reference's serial loop ordering preserves.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from datetime import datetime, timedelta
+from urllib.parse import urlparse
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import CrawlConfig
+from .bloom import BloomSeen, ExactSeen
+from .robots import ALLOW_ALL, parse_robots
+
+VIRTUAL_EPOCH = datetime(2024, 1, 1)
+
+FETCH_LOG_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("url_norm", pa.string()),
+    ("host", pa.string()),
+    ("fetch_ts", pa.timestamp("us")),
+    ("status", pa.string()),
+    ("attempt", pa.int32()),
+    ("wait_s", pa.float64()),
+    ("grant_seq", pa.int64()),
+    ("discovered_seq", pa.int64()),
+    ("partition_id", pa.int32()),
+])
+
+GRANT_SCHEMA = pa.schema([
+    ("url", pa.string()),
+    ("url_norm", pa.string()),
+    ("host", pa.string()),
+    ("keyword", pa.string()),
+    ("discovered_seq", pa.int64()),
+    ("grant_seq", pa.int64()),
+    ("sched_s", pa.float64()),
+    ("wait_s", pa.float64()),
+])
+
+
+class HostState:
+    __slots__ = ("count", "next_free_s", "retry_count", "suspended", "delay")
+
+    def __init__(self, delay: float):
+        self.count = 0
+        self.next_free_s = 0.0
+        self.retry_count = 0
+        self.suspended = False
+        self.delay = delay
+
+
+class FrontierShard:
+    def __init__(self, shard_id: int, config: CrawlConfig | None = None):
+        self.shard_id = shard_id
+        self.cfg = config or CrawlConfig()
+        if self.cfg.seen_exact:
+            self.seen = ExactSeen()
+        else:
+            self.seen = BloomSeen(self.cfg.bloom_capacity, self.cfg.bloom_fpp)
+        self.hosts: dict[str, HostState] = {}
+        self.robots: dict[str, object] = {}
+        self._grant_counter = 0
+        self._log: list[tuple] = []
+        self._log_by_url: dict[str, int] = {}
+        self._flushed_files = 0
+        self._flushed_rows = 0
+        self._checkpoint_dir: str | None = None
+        self.flush_every = 10_000
+
+    # ------------------------------------------------------------------
+    def _host_state(self, host: str) -> HostState:
+        st = self.hosts.get(host)
+        if st is None:
+            st = HostState(self.cfg.host_delays.get(host, self.cfg.default_delay))
+            self.hosts[host] = st
+        return st
+
+    def _jitter(self, host: str, k: int) -> float:
+        if not self.cfg.jitter_enabled:
+            return 0.0
+        jmin, jmax = self.cfg.jitter_range
+        return random.Random(f"{self.cfg.rng_seed}:{host}:{k}").uniform(jmin, jmax)
+
+    def _robots_allowed(self, host: str, url: str) -> bool:
+        rules = self.robots.get(host, ALLOW_ALL)
+        return rules.allowed(urlparse(url).path or "/")
+
+    def _log_row(self, url, url_norm, host, status, attempt, wait_s,
+                 grant_seq, discovered_seq, sched_s):
+        self._log_by_url[url_norm] = len(self._log)
+        self._log.append([url, url_norm, host, sched_s, status, attempt,
+                          wait_s, grant_seq, discovered_seq, self.shard_id])
+        if len(self._log) - self._flushed_rows >= self.flush_every and self._checkpoint_dir:
+            self.flush_log()
+
+    def set_checkpoint_dir(self, path: str) -> None:
+        self._checkpoint_dir = path
+        os.makedirs(path, exist_ok=True)
+
+    # ------------------------------------------------------------------
+    def offer(self, batch: pa.Table) -> pa.Table:
+        """Admit a batch of candidate URLs; return the granted rows.
+
+        Input columns: url, url_norm, host, url_hash, seed_rank, keyword.
+        Dedup is first-arrival-wins within this shard (the exact-conformance
+        pipeline pre-dedups by min seed_rank; see pipelines/crawl.py).
+        """
+        hashes = np.asarray(batch.column("url_hash").to_numpy(zero_copy_only=False),
+                            dtype=np.uint64)
+        fresh = self.seen.add_if_new(hashes)
+        urls = batch.column("url").to_pylist()
+        norms = batch.column("url_norm").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        ranks = batch.column("seed_rank").to_pylist()
+        kws = batch.column("keyword").to_pylist()
+
+        out = {name: [] for name in GRANT_SCHEMA.names}
+        for i in range(len(urls)):
+            if not fresh[i]:
+                continue  # duplicate: silently skipped, like the reference
+            host, url = hosts[i], urls[i]
+            st = self._host_state(host)
+            if st.suspended:
+                self._log_row(url, norms[i], host, "suspended", 0, 0.0, -1,
+                              ranks[i], st.next_free_s)
+                continue
+            if not self._robots_allowed(host, url):
+                self._log_row(url, norms[i], host, "robots_denied", 0, 0.0, -1,
+                              ranks[i], st.next_free_s)
+                continue
+            k = st.count
+            wait = 0.0 if k == 0 else st.delay + self._jitter(host, k)
+            sched = st.next_free_s + wait
+            st.next_free_s = sched
+            st.count += 1
+            grant_seq = self._grant_counter * self.cfg.num_frontier_shards + self.shard_id
+            self._grant_counter += 1
+            self._log_row(url, norms[i], host, "granted", 1, wait, grant_seq,
+                          ranks[i], sched)
+            out["url"].append(url)
+            out["url_norm"].append(norms[i])
+            out["host"].append(host)
+            out["keyword"].append(kws[i])
+            out["discovered_seq"].append(ranks[i])
+            out["grant_seq"].append(grant_seq)
+            out["sched_s"].append(sched)
+            out["wait_s"].append(wait)
+        return pa.Table.from_arrays(
+            [pa.array(out[n], GRANT_SCHEMA.field(n).type) for n in GRANT_SCHEMA.names],
+            schema=GRANT_SCHEMA,
+        )
+
+    # ------------------------------------------------------------------
+    def report_429(self, host: str) -> tuple[bool, float]:
+        """Exponential backoff on HTTP 429 (rate_limiter.py:213-257)."""
+        st = self._host_state(host)
+        st.retry_count += 1
+        if st.retry_count > self.cfg.max_retries:
+            st.suspended = True
+            return (False, 0.0)
+        backoff = float(2 ** st.retry_count)
+        st.next_free_s += backoff
+        return (True, backoff)
+
+    def report_success(self, host: str) -> None:
+        self._host_state(host).retry_count = 0
+
+    def report_results(self, url_norms: list[str], statuses: list[str],
+                       attempts: list[int]) -> None:
+        """Record final fetch/parse status into the lineage log."""
+        for norm, status, attempt in zip(url_norms, statuses, attempts):
+            idx = self._log_by_url.get(norm)
+            if idx is not None:
+                self._log[idx][4] = status
+                self._log[idx][5] = attempt
+
+    # ------------------------------------------------------------------
+    def set_robots(self, host: str, robots_txt: str, agent: str = "*") -> None:
+        self.robots[host] = parse_robots(robots_txt, agent)
+
+    def set_host_delay(self, host: str, delay: float) -> None:
+        self._host_state(host).delay = delay
+
+    def resume_host(self, host: str) -> None:
+        st = self._host_state(host)
+        st.suspended = False
+        st.retry_count = 0
+
+    def is_suspended(self, host: str) -> bool:
+        return self._host_state(host).suspended
+
+    def preload_hashes(self, hashes: np.ndarray) -> int:
+        """Resume: mark already-fetched URLs as seen (anti-join by preload)."""
+        fresh = self.seen.add_if_new(np.asarray(hashes, dtype=np.uint64))
+        return int(fresh.sum())
+
+    # ------------------------------------------------------------------
+    def _log_table(self, rows: list[list]) -> pa.Table:
+        cols = list(zip(*rows)) if rows else [[] for _ in range(10)]
+        arrays = [
+            pa.array(list(cols[0]), pa.string()),
+            pa.array(list(cols[1]), pa.string()),
+            pa.array(list(cols[2]), pa.string()),
+            pa.array([VIRTUAL_EPOCH + timedelta(seconds=s) for s in cols[3]],
+                     pa.timestamp("us")),
+            pa.array(list(cols[4]), pa.string()),
+            pa.array(list(cols[5]), pa.int32()),
+            pa.array(list(cols[6]), pa.float64()),
+            pa.array(list(cols[7]), pa.int64()),
+            pa.array(list(cols[8]), pa.int64()),
+            pa.array(list(cols[9]), pa.int32()),
+        ]
+        return pa.Table.from_arrays(arrays, schema=FETCH_LOG_SCHEMA)
+
+    def flush_log(self) -> str | None:
+        """Flush the unflushed lineage tail to a numbered Parquet file."""
+        if self._checkpoint_dir is None or self._flushed_rows >= len(self._log):
+            return None
+        chunk = self._log[self._flushed_rows:]
+        path = os.path.join(
+            self._checkpoint_dir,
+            f"fetch_log-shard{self.shard_id:03d}-{self._flushed_files:05d}.parquet",
+        )
+        pq.write_table(self._log_table(chunk), path)
+        self._flushed_rows = len(self._log)
+        self._flushed_files += 1
+        return path
+
+    def get_log(self) -> pa.Table:
+        return self._log_table(self._log)
+
+    def stats(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "hosts": len(self.hosts),
+            "granted": self._grant_counter,
+            "log_rows": len(self._log),
+            "seen_approx": self.seen.approx_len(),
+            "suspended_hosts": sum(1 for s in self.hosts.values() if s.suspended),
+        }
