@@ -1,44 +1,59 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here may call ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship crawl pipeline (seeds → frontier → corpus-backed
+  fetch → parse → posts) over a deterministic synthetic pages corpus
+  sized for sf0.001; returns the posts Dataset.
+- ``queries()``: one callable per implemented operator (SURVEY.md §2),
+  each taking ``sf_dir``.
+- ``oracle_sql()``: DuckDB-equivalent SQL for the SQL-expressible subset.
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+import ray.data
+
+SMOKE_PAGES = 1_000
+SMOKE_HOSTS = 16
+
+_TMP_ROOT = os.path.join(tempfile.gettempdir(), "grc_corpus")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship crawl on a deterministic sf0.001-scale corpus."""
+    from game_review_crawler_ray.config import CrawlConfig
+    from game_review_crawler_ray.pipelines.crawl import run_crawl
+    from game_review_crawler_ray.sources.corpus import ensure_corpus, gen_pages
+    from game_review_crawler_ray.sources.seeds import gen_seeds
+
+    pages, _expected = gen_pages(SMOKE_PAGES, SMOKE_HOSTS, seed=42)
+    seeds = gen_seeds(pages.column("url").to_pylist(), seed=42)
+    out = tempfile.mkdtemp(prefix="grc_entry_", dir=tempfile.gettempdir())
+    cfg = CrawlConfig(num_frontier_shards=4, fetch_concurrency=2)
+    res = run_crawl(pages, seeds, out, cfg)
+    return ray.data.read_parquet(res["posts_dir"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from game_review_crawler_ray.pipelines import analytics, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(analytics.QUERIES)
+    out.update(textops.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from game_review_crawler_ray.pipelines import analytics, textops
+
+    out: dict[str, str] = {}
+    out.update(analytics.ORACLE_SQL)
+    out.update(textops.ORACLE_SQL)
+    return out

@@ -40,10 +40,16 @@ def normalize_url(url: str) -> str:
 
 
 def extract_host(url: str) -> str:
-    """Host (netloc) of a URL; the politeness / frontier shard key."""
-    if url.startswith(("http://", "https://")):
-        return urlparse(url).netloc
-    return url
+    """Host (netloc) of a URL; the politeness / frontier shard key.
+
+    Case-insensitive on the scheme (unlike rate_limiter.py:69-72, whose
+    startswith check misses "HTTPS://"): the host is the engine's partition
+    key, so mixed-case variants of one URL must map to one shard.
+    """
+    low = url.strip().lower()
+    if low.startswith(("http://", "https://")):
+        return urlparse(low).netloc
+    return low
 
 
 def url_hash64(url_norm: str) -> int:

@@ -223,6 +223,9 @@ class FrontierShard:
     def is_suspended(self, host: str) -> bool:
         return self._host_state(host).suspended
 
+    def suspended_hosts(self) -> list[str]:
+        return [h for h, st in self.hosts.items() if st.suspended]
+
     def preload_hashes(self, hashes: np.ndarray) -> int:
         """Resume: mark already-fetched URLs as seen (anti-join by preload)."""
         fresh = self.seen.add_if_new(np.asarray(hashes, dtype=np.uint64))

@@ -1,0 +1,151 @@
+"""Frontier shard properties: politeness intervals, jitter range, backoff
+powers, suspension, robots, dedup — ported from the reference's property
+suite (tests/test_rate_limiter_property.py Properties 7-9,
+test_jitter_range_property.py Property 13) onto fetch_log timestamps
+instead of wall-clock sleeps."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings, strategies as st
+
+from game_review_crawler_ray.config import CrawlConfig
+from game_review_crawler_ray.functions.urlnorm import annotate_urls
+from game_review_crawler_ray.state.bloom import BloomSeen, ExactSeen
+from game_review_crawler_ray.state.frontier import FrontierShard
+from game_review_crawler_ray.state.robots import parse_robots
+
+
+def _seed_table(urls):
+    return annotate_urls(pa.table({
+        "url": urls,
+        "seed_rank": list(range(len(urls))),
+        "keyword": ["k"] * len(urls),
+    }))
+
+
+def _offer(shard, urls):
+    return shard.offer(_seed_table(urls))
+
+
+def test_first_request_no_wait_then_min_gap():
+    cfg = CrawlConfig(num_frontier_shards=1)
+    sh = FrontierShard(0, cfg)
+    urls = [f"https://h1.example.com/p/{i}" for i in range(20)]
+    g = _offer(sh, urls)
+    waits = g.column("wait_s").to_pylist()
+    scheds = g.column("sched_s").to_pylist()
+    assert waits[0] == 0.0
+    jmin, jmax = cfg.jitter_range
+    for w in waits[1:]:
+        assert cfg.default_delay + jmin <= w <= cfg.default_delay + jmax
+    gaps = np.diff(sorted(scheds))
+    assert (gaps >= cfg.default_delay + jmin - 1e-9).all()
+
+
+@given(st.floats(0.0, 3.0), st.floats(0.0, 3.0))
+@settings(max_examples=25, deadline=None)
+def test_jitter_within_configured_range(a, b):
+    jmin, jmax = min(a, b), max(a, b)
+    cfg = CrawlConfig(jitter_range=(jmin, jmax), num_frontier_shards=1)
+    sh = FrontierShard(0, cfg)
+    for k in range(1, 30):
+        j = sh._jitter("host.example.com", k)
+        assert jmin <= j <= jmax
+
+
+def test_jitter_disabled_and_deterministic():
+    cfg = CrawlConfig(jitter_enabled=False, num_frontier_shards=1)
+    assert FrontierShard(0, cfg)._jitter("h", 1) == 0.0
+    cfg2 = CrawlConfig(num_frontier_shards=1)
+    assert FrontierShard(0, cfg2)._jitter("h", 5) == FrontierShard(0, cfg2)._jitter("h", 5)
+
+
+def test_per_host_override_independent():
+    cfg = CrawlConfig(host_delays={"slow.example.com": 10.0}, num_frontier_shards=1)
+    sh = FrontierShard(0, cfg)
+    g = _offer(sh, [f"https://slow.example.com/{i}" for i in range(5)]
+               + [f"https://fast.example.com/{i}" for i in range(5)])
+    by_host = collections.defaultdict(list)
+    for r in g.to_pylist():
+        by_host[r["host"]].append(r["wait_s"])
+    assert all(w >= 10.5 for w in by_host["slow.example.com"][1:])
+    assert all(w <= 5.0 for w in by_host["fast.example.com"][1:])
+
+
+def test_backoff_powers_and_suspension():
+    cfg = CrawlConfig(num_frontier_shards=1)
+    sh = FrontierShard(0, cfg)
+    results = [sh.report_429("h.example.com") for _ in range(4)]
+    assert [r[1] for r in results[:3]] == [2.0, 4.0, 8.0]
+    assert results[3] == (False, 0.0)
+    assert sh.is_suspended("h.example.com")
+    # suspended host urls are refused at grant time
+    g = _offer(sh, ["https://h.example.com/x"])
+    assert g.num_rows == 0
+    # success resets; resume clears suspension
+    sh.resume_host("h.example.com")
+    assert not sh.is_suspended("h.example.com")
+    sh.report_429("h.example.com")
+    sh.report_success("h.example.com")
+    assert sh.report_429("h.example.com")[1] == 2.0  # counter was reset
+
+
+def test_dedup_first_wins_and_preload():
+    cfg = CrawlConfig(num_frontier_shards=1)
+    sh = FrontierShard(0, cfg)
+    g1 = _offer(sh, ["https://a.example.com/1", "https://a.example.com/1/",
+                     "https://a.example.com/1#f", "https://a.example.com/2"])
+    assert g1.column("url").to_pylist() == ["https://a.example.com/1", "https://a.example.com/2"]
+    g2 = _offer(sh, ["https://a.example.com/2", "https://a.example.com/3"])
+    assert g2.column("url").to_pylist() == ["https://a.example.com/3"]
+    # preload acts as resume anti-join
+    sh2 = FrontierShard(0, cfg)
+    t = _seed_table(["https://a.example.com/9"])
+    sh2.preload_hashes(np.asarray(t.column("url_hash").to_numpy(), dtype=np.uint64))
+    assert _offer(sh2, ["https://a.example.com/9"]).num_rows == 0
+
+
+def test_robots_rules():
+    r = parse_robots("User-agent: *\nDisallow: /private/\nAllow: /private/ok\nCrawl-delay: 7")
+    assert not r.allowed("/private/x")
+    assert r.allowed("/private/ok/page")
+    assert r.allowed("/public")
+    assert r.crawl_delay == 7.0
+    r2 = parse_robots("User-agent: other\nDisallow: /\n\nUser-agent: mybot\nDisallow: /no",
+                      agent="mybot")
+    assert r2.disallow == ["/no"] and r2.allowed("/yes") and not r2.allowed("/no")
+    # unknown agent with no * group -> allow all
+    assert parse_robots("User-agent: other\nDisallow: /", "any").allowed("/anything")
+    assert parse_robots("", "any").allowed("/anything")
+
+
+def test_bloom_seen_no_false_negatives():
+    b = BloomSeen(capacity=10_000, fpp=1e-3)
+    keys = np.random.default_rng(0).integers(0, 2**63, 5000, dtype=np.uint64)
+    fresh = b.add_if_new(keys)
+    uniq = len(set(keys.tolist()))
+    assert fresh.sum() <= uniq
+    assert b.contains(keys).all()          # no false negatives
+    other = np.random.default_rng(1).integers(0, 2**63, 5000, dtype=np.uint64)
+    fp = b.contains(other).sum()
+    assert fp < 50                          # fpp sanity
+    e = ExactSeen()
+    f1 = e.add_if_new(np.array([1, 2, 1], dtype=np.uint64))
+    assert f1.tolist() == [True, True, False]
+
+
+def test_log_and_flush(tmp_path):
+    cfg = CrawlConfig(num_frontier_shards=1)
+    sh = FrontierShard(0, cfg)
+    sh.set_checkpoint_dir(str(tmp_path))
+    _offer(sh, [f"https://h.example.com/{i}" for i in range(10)])
+    sh.report_results([f"https://h.example.com/{i}" for i in range(10)],
+                      ["ok"] * 10, [1] * 10)
+    path = sh.flush_log()
+    import pyarrow.parquet as pq
+    t = pq.read_table(path)
+    assert t.num_rows == 10
+    assert set(t.column("status").to_pylist()) == {"ok"}
+    assert sh.flush_log() is None  # nothing new

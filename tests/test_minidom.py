@@ -1,0 +1,68 @@
+"""Mini-DOM: selector subset + get_text semantics (bs4-equivalent for the
+operations the reference parsers use)."""
+
+import re
+
+from game_review_crawler_ray.functions.minidom import parse_html
+
+
+HTML = """
+<html><body>
+<div id="content" class="wrap main">
+  <h1 class="title">Hello <b>World</b></h1>
+  <article><div class="content"><p>one </p>
+  <p> two</p></div></article>
+  <span class="title_headtext">head</span><span>after</span>
+  <div class="comments">
+    <div class="comment"><span class="author">kim</span><span class="content">nice</span></div>
+    <div class="comment"><span class="content">anon text</span></div>
+  </div>
+  <time datetime="2024-01-02T03:04:05Z">Jan 2</time>
+</div>
+<script>var x = "<p>not text</p>";</script>
+</body></html>
+"""
+
+
+def test_select_compound_and_descendant():
+    dom = parse_html(HTML)
+    assert dom.select_one("h1.title").get_text(strip=True) == "HelloWorld"
+    assert dom.select_one("article .content") is not None
+    assert dom.select_one("#content .comment .author").get_text(strip=True) == "kim"
+    assert dom.select_one(".missing") is None
+    assert len(dom.select(".comment")) == 2
+
+
+def test_adjacent_sibling_and_attr():
+    dom = parse_html(HTML)
+    assert dom.select_one(".title_headtext + span").get_text(strip=True) == "after"
+    assert dom.select_one("time[datetime]")["datetime"] == "2024-01-02T03:04:05Z"
+
+
+def test_get_text_separator_strip():
+    dom = parse_html(HTML)
+    div = dom.select_one("article .content")
+    # bs4 semantics: strip each string, drop empties, join by separator
+    assert div.get_text(separator="\n", strip=True) == "one\ntwo"
+    assert div.get_text(strip=True) == "onetwo"
+
+
+def test_decompose_and_find_all():
+    dom = parse_html(HTML)
+    for el in dom.find_all(["script"]):
+        el.decompose()
+    assert "not text" not in dom.get_text()
+    assert [e.tag for e in dom.find_all(class_=re.compile("comment"))]
+    nodes = dom.find_all(string=re.compile("anon"))
+    assert nodes and nodes[0].parent.classes == ["content"]
+
+
+def test_child_combinator():
+    dom = parse_html('<div class="a"><div class="b"><span class="c">x</span></div></div>')
+    assert dom.select_one(".a > .b") is not None
+    assert dom.select_one(".a > .c") is None  # c is a grandchild
+
+
+def test_void_and_entities():
+    dom = parse_html("<p>a&amp;b<br>c</p>")
+    assert dom.select_one("p").get_text() == "a&bc"

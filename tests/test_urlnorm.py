@@ -1,0 +1,53 @@
+"""URL normalization / dedup properties (reference Requirements 3.4,
+tests/test_url_deduplicator? — semantics from url_deduplicator.py:14-62)."""
+
+import pyarrow as pa
+from hypothesis import given, strategies as st
+
+from game_review_crawler_ray.functions.urlnorm import (
+    annotate_urls, extract_host, normalize_url, url_hash64,
+)
+
+
+def test_normalize_basics():
+    assert normalize_url("HTTPS://Example.COM/A/B/") == "https://example.com/a/b"
+    assert normalize_url("https://example.com/a#frag") == "https://example.com/a"
+    assert normalize_url("https://example.com/a?q=1#f") == "https://example.com/a?q=1"
+    assert normalize_url("  https://example.com/x  ") == "https://example.com/x"
+    assert normalize_url("notaurl") == "notaurl"
+
+
+def test_normalize_idempotent_on_canonical():
+    u = "https://gall.dcinside.com/board/123"
+    assert normalize_url(u) == u
+
+
+@given(st.text(max_size=80))
+def test_normalize_total_function(s):
+    # never raises, always lowercase-stripped
+    out = normalize_url(s)
+    assert out == out.strip()
+
+
+def test_extract_host():
+    assert extract_host("https://bbs.ruliweb.com/board/1") == "bbs.ruliweb.com"
+    assert extract_host("bbs.ruliweb.com") == "bbs.ruliweb.com"
+
+
+def test_hash_stable_and_distinct():
+    h1 = url_hash64("https://a.com/x")
+    assert h1 == url_hash64("https://a.com/x")
+    assert h1 != url_hash64("https://a.com/y")
+    assert 0 <= h1 < 2**64
+
+
+def test_annotate_urls_batch():
+    t = pa.table({
+        "url": ["HTTPS://A.com/p/", "https://b.com/q#z"],
+        "seed_rank": [0, 1],
+        "keyword": ["k", "k"],
+    })
+    out = annotate_urls(t)
+    assert out.column("url_norm").to_pylist() == ["https://a.com/p", "https://b.com/q"]
+    assert out.column("host").to_pylist() == ["a.com", "b.com"]
+    assert out.column("url_hash").type == pa.uint64()
