@@ -43,8 +43,12 @@ def round6(x: np.ndarray | float):
 def _collect(ds: ray.data.Dataset) -> pa.Table:
     """Materialize a (small) Dataset result to one Arrow table, skipping the
     empty schema-less blocks that pandas-block aggregates can emit."""
-    tables = [t for t in ray.get(ds.to_arrow_refs())
-              if t.num_rows > 0 and t.num_columns > 0]
+    tables = []
+    for blk in ray.get(ds.to_arrow_refs()):
+        if isinstance(blk, pd.DataFrame):  # some paths leave pandas blocks
+            blk = pa.Table.from_pandas(blk, preserve_index=False)
+        if blk.num_rows > 0 and blk.num_columns > 0:
+            tables.append(blk)
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables)

@@ -1,0 +1,45 @@
+"""Every SQL-checkable query must match its DuckDB oracle at sf0.001 —
+a fast in-suite replica of the driver's correctness gate (the full sf0.01
+sweep lives in tools/oracle_check.py)."""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    import importlib
+
+    entry = importlib.import_module("__ray_entry__")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return entry.queries(), entry.oracle_sql(), con
+
+
+def _names_with_oracle():
+    import importlib
+
+    entry = importlib.import_module("__ray_entry__")
+    return sorted(entry.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", _names_with_oracle())
+def test_query_matches_oracle(ctx, name):
+    from tools.oracle_check import normalize, to_pandas
+
+    queries, oracles, con = ctx
+    got = normalize(to_pandas(queries[name](SF_DIR)))
+    exp = normalize(con.sql(oracles[name]).df())
+    assert list(got.columns) == list(exp.columns), name
+    assert len(got) == len(exp), name
+    assert got.equals(exp), f"{name}: value mismatch"

@@ -24,9 +24,10 @@ def test_normalize_idempotent_on_canonical():
 
 @given(st.text(max_size=80))
 def test_normalize_total_function(s):
-    # never raises, always lowercase-stripped
+    # never raises; lowercase; idempotent on its own output
     out = normalize_url(s)
-    assert out == out.strip()
+    assert out == out.lower()
+    assert normalize_url(out) == normalize_url(normalize_url(out))
 
 
 def test_extract_host():
