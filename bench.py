@@ -1,0 +1,191 @@
+"""Benchmark harness.
+
+Headline: the flagship crawl pipeline (seeds -> frontier -> corpus-backed
+fetch -> parse -> posts parquet) over a deterministic synthetic pages
+corpus scaled to $GRAFT_SF_DIR, plus representative analytics queries on
+the testdata tables.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline seconds>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "pages_per_sec": ...}
+
+--scaling: runs the same crawl at num_cpus=8 and num_cpus=32 in fresh
+subprocesses on the same corpus and reports both throughputs plus
+efficiency = (T_32 / T_8) / 4  (the in-sandbox stand-in for the N->4N
+cluster-size criterion; see BASELINE.md).
+
+The bench corpus has >= 256 distinct hosts so politeness never caps
+parallelism (pages/s scales with host diversity under a politeness
+budget — BASELINE.md notes).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def sf_of(sf_dir: str) -> float:
+    import re
+
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def bench_params(sf: float) -> dict:
+    n_pages = int(os.environ.get("GRAFT_BENCH_PAGES", "0")) or \
+        max(1_000, int(sf * 1_000_000))
+    return {"n_pages": n_pages, "n_hosts": max(256, int(n_pages ** 0.5)), "seed": 42}
+
+
+def ensure_bench_corpus(sf: float) -> str:
+    """Generate (once, cached) the bench corpus as sharded parquet."""
+    from game_review_crawler_ray.sources.corpus import gen_pages
+    from game_review_crawler_ray.sources.seeds import gen_seeds
+    import pyarrow.parquet as pq
+
+    p = bench_params(sf)
+    root = os.path.join(tempfile.gettempdir(), "grc_bench")
+    out = os.path.join(root, f"corpus_n{p['n_pages']}_h{p['n_hosts']}")
+    marker = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(out, exist_ok=True)
+        pages, _ = gen_pages(p["n_pages"], p["n_hosts"], p["seed"])
+        n_shards = 32
+        per = (pages.num_rows + n_shards - 1) // n_shards
+        for s in range(n_shards):
+            chunk = pages.slice(s * per, per)
+            if chunk.num_rows:
+                pq.write_table(chunk, os.path.join(out, f"pages-{s:04d}.parquet"))
+        seeds = gen_seeds(pages.column("url").to_pylist(), p["seed"])
+        pq.write_table(seeds, os.path.join(out, "seeds.parquet"))
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def run_crawl_bench(corpus_dir: str, num_cpus: int) -> dict:
+    """One timed crawl over the prepared corpus. Ray must be initialised."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from game_review_crawler_ray.config import CrawlConfig
+    from game_review_crawler_ray.pipelines.crawl import run_crawl
+
+    import pyarrow as pa
+
+    pages = pa.concat_tables([
+        pq.read_table(f) for f in sorted(glob.glob(os.path.join(corpus_dir, "pages-*.parquet")))
+    ])
+    seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
+    out = tempfile.mkdtemp(prefix="grc_bench_run_")
+    cfg = CrawlConfig(
+        num_frontier_shards=max(8, num_cpus // 2),
+        fetch_concurrency=max(4, num_cpus // 2),
+        parse_batch_size=512,
+    )
+    # warmup run (page cache + plasma + actor pools), then the timed run
+    warm_out = tempfile.mkdtemp(prefix="grc_bench_warm_")
+    run_crawl(pages, seeds, warm_out, cfg, parallelism=num_cpus)
+    t0 = time.perf_counter()
+    res = run_crawl(pages, seeds, out, cfg, parallelism=num_cpus)
+    elapsed = time.perf_counter() - t0
+    n_posts = res["metrics"].get("status_counts", {}).get("ok", 0)
+    granted = res["metrics"]["granted"]
+    return {"elapsed_s": elapsed, "pages": granted, "posts": n_posts,
+            "pages_per_sec": granted / elapsed}
+
+
+QUERY_NAMES = ["sentiment_scores", "token_counts_top50", "trend_daily",
+               "hot_users_topk", "dedup_exact", "ann_topk", "site_stats",
+               "dedup_minhash"]
+
+
+def run_queries(sf_dir: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import importlib
+
+    entry = importlib.import_module("__ray_entry__")
+    qs = entry.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.perf_counter()
+        res = qs[name](sf_dir)
+        # force execution for lazy results
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+
+    if "--scaling" in sys.argv:
+        corpus = ensure_bench_corpus(sf)
+        results = {}
+        for cpus in (8, 32):
+            proc = subprocess.run(
+                [sys.executable, __file__, "--crawl-only"],
+                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
+                     "GRAFT_SF_DIR": sf_dir},
+                capture_output=True, text=True, timeout=3600,
+            )
+            line = proc.stdout.strip().splitlines()[-1]
+            results[cpus] = json.loads(line)
+        thr8 = results[8]["pages_per_sec"]
+        thr32 = results[32]["pages_per_sec"]
+        eff = (thr32 / thr8) / 4.0
+        print(json.dumps({
+            "metric": "crawl pages/s scaling 8->32 cpus",
+            "value": round(eff, 4), "unit": "efficiency",
+            "pages_per_sec_8": round(thr8, 1),
+            "pages_per_sec_32": round(thr32, 1),
+            "sf": sf, "corpus": bench_params(sf),
+        }))
+        return
+
+    if "--crawl-only" in sys.argv:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                     logging_level="ERROR")
+        corpus = ensure_bench_corpus(sf)
+        r = run_crawl_bench(corpus, num_cpus)
+        print(json.dumps({**r, "num_cpus": num_cpus}))
+        ray.shutdown()
+        return
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+                 logging_level="ERROR")
+    corpus = ensure_bench_corpus(sf)
+    crawl = run_crawl_bench(corpus, num_cpus)
+    queries = run_queries(sf_dir)
+    print(json.dumps({
+        "metric": "crawl pages fetched+parsed end-to-end",
+        "value": round(crawl["elapsed_s"], 3),
+        "unit": "sec",
+        "pages_per_sec": round(crawl["pages_per_sec"], 1),
+        "pages": crawl["pages"],
+        "posts": crawl["posts"],
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -43,13 +43,14 @@ class TextNode:
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent")
+    __slots__ = ("tag", "attrs", "children", "parent", "_index")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None"):
         self.tag = tag
         self.attrs = attrs
         self.children: list[Element | TextNode] = []
         self.parent = parent
+        self._index = None  # document-order class/tag index (root only, lazy)
 
     # -- attribute helpers -------------------------------------------------
     def has_attr(self, name: str) -> bool:
@@ -113,14 +114,48 @@ class Element:
             self.parent = None
 
     # -- queries -----------------------------------------------------------
+    def _candidates(self, subject: "_Simple"):
+        """Document-order candidate elements for the selector subject.
+
+        The root element keeps a lazy class/tag index (built on first query);
+        candidates may have been decomposed since, so callers re-verify
+        attachment. Non-root scopes fall back to a subtree scan.
+        """
+        if self.parent is not None or self.tag != "[document]":
+            return self.iter_elements(), False
+        if self._index is None:
+            by_class: dict[str, list[Element]] = {}
+            by_tag: dict[str, list[Element]] = {}
+            for el in self.iter_elements():
+                for c in el.classes:
+                    by_class.setdefault(c, []).append(el)
+                by_tag.setdefault(el.tag, []).append(el)
+            self._index = (by_class, by_tag)
+        by_class, by_tag = self._index
+        if subject.classes:
+            return by_class.get(subject.classes[0], ()), True
+        if subject.tag is not None:
+            return by_tag.get(subject.tag, ()), True
+        return self.iter_elements(), False
+
+    def _attached(self, el: "Element") -> bool:
+        node = el
+        while node.parent is not None:
+            node = node.parent
+        return node is self
+
     def select(self, selector: str) -> list["Element"]:
         compiled = _parse_selector(selector)
-        return [el for el in self.iter_elements() if _matches_chain(el, compiled, scope=self)]
+        cands, check = self._candidates(compiled[-1][1])
+        return [el for el in cands
+                if (not check or self._attached(el))
+                and _matches_chain(el, compiled, scope=self)]
 
     def select_one(self, selector: str) -> Optional["Element"]:
         compiled = _parse_selector(selector)
-        for el in self.iter_elements():
-            if _matches_chain(el, compiled, scope=self):
+        cands, check = self._candidates(compiled[-1][1])
+        for el in cands:
+            if (not check or self._attached(el)) and _matches_chain(el, compiled, scope=self):
                 return el
         return None
 
@@ -209,6 +244,10 @@ class _Simple:
         return True
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=512)
 def _parse_selector(selector: str):
     """Parse into [(combinator, _Simple), ...] right-to-left.
 

@@ -45,7 +45,7 @@ import ray.data
 from ..config import CrawlConfig
 from ..functions.urlnorm import annotate_urls, url_hash64
 from ..state.frontier import FrontierShard
-from ..stages.fetch import CorpusFetcher
+from ..stages.fetch import CorpusFetcher  # noqa: F401 (actor-pool variant)
 from ..stages.parse import parse_batch_fn
 
 TERMINAL_STATUSES = ("ok", "parse_failed", "not_found")
@@ -67,27 +67,68 @@ def _annotate(batch: pa.Table) -> pa.Table:
     return annotate_urls(batch)
 
 
-def _keep_first_seed(group: pa.Table) -> pa.Table:
-    """First-wins within one url_norm group: keep the min seed_rank row."""
-    ranks = group.column("seed_rank").to_numpy(zero_copy_only=False)
-    return group.take(pa.array([int(np.argmin(ranks))]))
-
-
 def dedup_first_wins(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """Exact distributed first-wins dedup (operator D1, exact path)."""
-    return ds.groupby("url_norm").map_groups(_keep_first_seed, batch_format="pyarrow")
+    """Exact distributed first-wins dedup (operator D1, exact path).
+
+    Winner per url_norm = the min seed_rank; since seed_rank is globally
+    unique, ``groupby(url_norm).min(seed_rank)`` yields exactly the winner
+    rank set. Combiner pattern, no all-to-all shuffle: per-block partial mins
+    (map_batches), a tiny driver merge, broadcast winner-rank filter.
+    This conformance path suits seed lists up to ~10^8; beyond that the
+    scale path is the frontier's sharded bloom dedup (cfg.seen_exact=False),
+    which needs no shuffle at all.
+    """
+    import pandas as pd
+
+    def partial_winners(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "url_norm": batch.column("url_norm").to_pandas(),
+            "seed_rank": batch.column("seed_rank").to_numpy(zero_copy_only=False),
+        })
+        g = df.groupby("url_norm", as_index=False)["seed_rank"].min()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    parts = [t.to_pandas() for t in
+             ray.get(ds.map_batches(partial_winners, batch_format="pyarrow")
+                     .to_arrow_refs()) if t.num_rows]
+    if parts:
+        merged = pd.concat(parts).groupby("url_norm", as_index=False)["seed_rank"].min()
+        ranks = np.sort(merged["seed_rank"].to_numpy())
+    else:
+        ranks = np.array([], dtype=np.int64)
+    ranks_ref = ray.put(ranks)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        w = ray.get(ranks_ref)
+        mask = np.isin(batch.column("seed_rank").to_numpy(zero_copy_only=False), w,
+                       assume_unique=True)
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
 def frontier_offer_fn(frontier, num_shards: int):
     def offer(batch: pa.Table) -> pa.Table:
+        import os
+        import time
+
+        _t0 = time.perf_counter()
         hosts = batch.column("host").to_pylist()
         shard_ids = np.fromiter((url_hash64(h) % num_shards for h in hosts),
                                 dtype=np.int64, count=len(hosts))
-        refs = []
-        for s in np.unique(shard_ids):
-            sub = batch.filter(pa.array(shard_ids == s))
-            refs.append(frontier[int(s)].offer.remote(sub))
-        tables = [t for t in ray.get(refs) if t.num_rows]
+        uniq = np.unique(shard_ids)
+        if len(uniq) == 1:
+            # shard-aligned block (prep_seed_blocks layout): one RPC
+            tables = [ray.get(frontier[int(uniq[0])].offer.remote(batch))]
+        else:
+            refs = []
+            for s in uniq:
+                sub = batch.filter(pa.array(shard_ids == s))
+                refs.append(frontier[int(s)].offer.remote(sub))
+            tables = ray.get(refs)
+        tables = [t for t in tables if t.num_rows]
+        if os.environ.get("GRC_TIMING"):
+            print(f"[offer] {len(hosts)} rows {time.perf_counter()-_t0:.3f}s")
         if not tables:
             from ..state.frontier import GRANT_SCHEMA
             return GRANT_SCHEMA.empty_table()
@@ -105,6 +146,9 @@ def report_results_fn(frontier, num_shards: int):
         by_shard: dict[int, list[int]] = {}
         for i, h in enumerate(hosts):
             by_shard.setdefault(url_hash64(h) % num_shards, []).append(i)
+        # async fire-and-forget: blocking here would convoy every parse task
+        # behind frontier actors that are busy taking offers; run_crawl drains
+        # the shards (reports_pending == 0) before the final flush instead
         for s, idxs in by_shard.items():
             frontier[s].report_results.remote(
                 [norms[i] for i in idxs],
@@ -116,20 +160,74 @@ def report_results_fn(frontier, num_shards: int):
     return report
 
 
-def load_seeds(seeds) -> ray.data.Dataset:
+def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
+                     exact_dedup: bool = True) -> ray.data.Dataset:
+    """Driver-side seed prep: annotate, exact first-wins dedup, sort by
+    (frontier shard, seed_rank), emit shard-aligned blocks.
+
+    Suits seed tables up to ~10^8 rows on one node; beyond that run the
+    same steps as a Ray Data sort keyed on the shard id (documented scale
+    path) or skip dedup entirely and let the frontier bloom shards absorb
+    duplicates (cfg.seen_exact=False).
+    """
+    import pandas as pd
+
+    ann = annotate_urls(seeds)
+    df = ann.to_pandas()
+    if exact_dedup:
+        # first-wins: keep the min seed_rank per url_norm (D1 semantics)
+        df = df.loc[df.groupby("url_norm")["seed_rank"].idxmin()]
+    df["_shard"] = np.fromiter((url_hash64(h) % cfg.num_frontier_shards
+                                for h in df["host"]), dtype=np.int64,
+                               count=len(df))
+    df = df.sort_values(["_shard", "seed_rank"], kind="stable")
+    tbl = pa.Table.from_pandas(df.drop(columns=["_shard"]),
+                               preserve_index=False)
+    # block layout: never span shards; split big shards into ~equal chunks
+    counts = df.groupby("_shard").size()
+    target = max(256, (len(df) + parallelism - 1) // parallelism)
+    blocks, start = [], 0
+    for shard, cnt in counts.sort_index().items():
+        n_chunks = max(1, round(cnt / target))
+        per = (cnt + n_chunks - 1) // n_chunks
+        off = 0
+        while off < cnt:
+            blocks.append(tbl.slice(start + off, min(per, cnt - off)))
+            off += per
+        start += cnt
+    return ray.data.from_arrow([b for b in blocks if b.num_rows])
+
+
+def load_seeds(seeds, parallelism: int | None = None) -> ray.data.Dataset:
+    """Seed table -> Dataset, pre-split into blocks driver-side.
+
+    Slicing the (small) seed table into blocks here avoids Ray's
+    all-to-all ``repartition`` (seconds of fixed overhead per run for
+    megabytes of data). Datasets and paths pass through untouched.
+    """
     if isinstance(seeds, ray.data.Dataset):
         return seeds
     if isinstance(seeds, str):
         return ray.data.read_parquet(seeds)
-    return ray.data.from_arrow(seeds)
+    n_blocks = max(1, parallelism or 64)
+    per = max(1, (seeds.num_rows + n_blocks - 1) // n_blocks)
+    slices = [seeds.slice(i * per, per) for i in range(n_blocks)]
+    return ray.data.from_arrow([s for s in slices if s.num_rows])
 
 
 def load_fetch_log(out_dir: str) -> pa.Table:
+    """Concatenate the per-shard lineage files; corrective rows (late status
+    updates for already-flushed grants) are resolved last-wins per url_norm
+    within each shard's file order."""
     files = sorted(glob.glob(os.path.join(out_dir, "fetch_log", "*.parquet")))
     if not files:
         from ..state.frontier import FETCH_LOG_SCHEMA
         return FETCH_LOG_SCHEMA.empty_table()
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    tbl = pa.concat_tables([pq.read_table(f) for f in files])
+    df = tbl.to_pandas()
+    df = df.drop_duplicates(subset=["url_norm"], keep="last").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False,
+                                schema=tbl.schema)
 
 
 def run_crawl(
@@ -143,10 +241,20 @@ def run_crawl(
     parallelism: int | None = None,
 ) -> dict:
     """Run the crawl; returns paths + metrics. Ray must be initialised."""
+    import time as _time
+
+    _timing = os.environ.get("GRC_TIMING")
+    _marks = [("start", _time.perf_counter())]
+
+    def _mark(name):
+        if _timing:
+            _marks.append((name, _time.perf_counter()))
+
     cfg = cfg or CrawlConfig()
     os.makedirs(out_dir, exist_ok=True)
     ckpt = os.path.join(out_dir, "fetch_log")
     frontier = make_frontier(cfg, checkpoint_dir=ckpt)
+    _mark("frontier_setup")
 
     if robots:
         waits = []
@@ -178,27 +286,39 @@ def run_crawl(
         pages_tbl = pa.concat_tables([pq.read_table(p) for p in paths])
     else:
         pages_tbl = pages
+    _mark("corpus_load")
     corpus_ref = ray.put(pages_tbl)
+    from ..stages.fetch import build_corpus_index
 
-    ds = load_seeds(seeds)
-    if parallelism:
-        ds = ds.repartition(parallelism)
-    ds = ds.map_batches(_annotate, batch_format="pyarrow")
-    if cfg.seen_exact:
-        ds = dedup_first_wins(ds)
+    index_ref = ray.put(build_corpus_index(pages_tbl))
+    _mark("corpus_put")
+
+    if isinstance(seeds, pa.Table):
+        # seed prep (annotate + exact first-wins dedup + shard-aligned block
+        # layout) happens up front: the seed table is tiny relative to the
+        # pages it fans out to. Shard-aligned blocks mean each block's
+        # frontier offer is ONE actor call — without alignment every block
+        # RPCs every shard and the pipeline convoys on the frontier.
+        # At 10^10-seed scale this prep is itself a Ray Data job (sort by
+        # shard key); the per-block offer stays single-RPC either way.
+        ds = prep_seed_blocks(seeds, cfg, parallelism or 64,
+                              exact_dedup=cfg.seen_exact)
+    else:
+        ds = load_seeds(seeds, parallelism)
+        ds = ds.map_batches(_annotate, batch_format="pyarrow")
+        if cfg.seen_exact:
+            ds = ds.materialize()
+            ds = dedup_first_wins(ds)
+    _mark("seeds_prep")
     ds = ds.map_batches(frontier_offer_fn(frontier, cfg.num_frontier_shards),
-                        batch_format="pyarrow", batch_size=cfg.parse_batch_size)
+                        batch_format="pyarrow")
+    from ..stages.fetch import make_corpus_fetch_fn
+
     ds = ds.map_batches(
-        CorpusFetcher,
-        fn_constructor_kwargs=dict(
-            corpus_ref=corpus_ref,
-            frontier_handles=frontier,
-            num_shards=cfg.num_frontier_shards,
-            rate_limited=rate_limited,
-            max_retries=cfg.max_retries,
-        ),
-        concurrency=cfg.fetch_concurrency,
-        batch_size=cfg.parse_batch_size,
+        make_corpus_fetch_fn(corpus_ref, index_ref, frontier,
+                             cfg.num_frontier_shards,
+                             rate_limited=rate_limited,
+                             max_retries=cfg.max_retries),
         batch_format="pyarrow",
     )
     ds = ds.map_batches(parse_batch_fn, batch_size=cfg.parse_batch_size,
@@ -209,7 +329,21 @@ def run_crawl(
     posts_dir = os.path.join(out_dir, "posts")
     ok_ds = ds.filter(expr="status == 'ok'")
     ok_ds.write_parquet(posts_dir)
+    _mark("write")
+    if os.environ.get("GRC_PRINT_STATS"):
+        print(ok_ds.stats())
 
+    # drain: wait until every granted row has received its final status
+    # (report_results messages are async; actors process them FIFO, so once
+    # no row is left in 'granted' state the lineage is complete)
+    deadline = _time.monotonic() + 60.0
+    while _time.monotonic() < deadline:
+        pending = sum(ray.get([s.pending_reports.remote() for s in frontier]))
+        if pending == 0:
+            break
+        _time.sleep(0.05)
+
+    _mark("drain")
     ray.get([s.flush_log.remote() for s in frontier])
     stats = ray.get([s.stats.remote() for s in frontier])
     metrics = {
@@ -225,6 +359,12 @@ def run_crawl(
 
         counts = collections.Counter(log.column("status").to_pylist())
         metrics["status_counts"] = dict(counts)
+    _mark("flush_metrics")
+    if _timing:
+        prev = _marks[0][1]
+        for name, t in _marks[1:]:
+            print(f"[phase] {name}: {t - prev:.2f}s")
+            prev = t
     with open(os.path.join(out_dir, "metrics.json"), "w") as f:
         json.dump(metrics, f, indent=2, default=str)
 

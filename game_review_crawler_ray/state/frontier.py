@@ -63,6 +63,7 @@ FETCH_LOG_SCHEMA = pa.schema([
 GRANT_SCHEMA = pa.schema([
     ("url", pa.string()),
     ("url_norm", pa.string()),
+    ("url_hash", pa.uint64()),
     ("host", pa.string()),
     ("keyword", pa.string()),
     ("discovered_seq", pa.int64()),
@@ -99,6 +100,7 @@ class FrontierShard:
         self._flushed_files = 0
         self._flushed_rows = 0
         self._checkpoint_dir: str | None = None
+        self._awaiting_report = 0  # granted rows without a final status yet
         self.flush_every = 10_000
 
     # ------------------------------------------------------------------
@@ -171,8 +173,10 @@ class FrontierShard:
             self._grant_counter += 1
             self._log_row(url, norms[i], host, "granted", 1, wait, grant_seq,
                           ranks[i], sched)
+            self._awaiting_report += 1
             out["url"].append(url)
             out["url_norm"].append(norms[i])
+            out["url_hash"].append(int(hashes[i]))
             out["host"].append(host)
             out["keyword"].append(kws[i])
             out["discovered_seq"].append(ranks[i])
@@ -201,10 +205,24 @@ class FrontierShard:
 
     def report_results(self, url_norms: list[str], statuses: list[str],
                        attempts: list[int]) -> None:
-        """Record final fetch/parse status into the lineage log."""
+        """Record final fetch/parse status into the lineage log.
+
+        Rows already flushed to Parquet can't be updated in place; a
+        corrective copy is appended instead and readers keep the LAST row
+        per url_norm (load_fetch_log)."""
         for norm, status, attempt in zip(url_norms, statuses, attempts):
             idx = self._log_by_url.get(norm)
-            if idx is not None:
+            if idx is None:
+                continue
+            if self._log[idx][4] == "granted":
+                self._awaiting_report -= 1
+            if idx < self._flushed_rows:
+                row = list(self._log[idx])
+                row[4] = status
+                row[5] = attempt
+                self._log_by_url[norm] = len(self._log)
+                self._log.append(row)
+            else:
                 self._log[idx][4] = status
                 self._log[idx][5] = attempt
 
@@ -225,6 +243,11 @@ class FrontierShard:
 
     def suspended_hosts(self) -> list[str]:
         return [h for h, st in self.hosts.items() if st.suspended]
+
+    def pending_reports(self) -> int:
+        """Granted rows that have not yet received a final fetch/parse
+        status (the drain barrier for async report_results)."""
+        return self._awaiting_report
 
     def preload_hashes(self, hashes: np.ndarray) -> int:
         """Resume: mark already-fetched URLs as seen (anti-join by preload)."""

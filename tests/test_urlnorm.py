@@ -52,3 +52,23 @@ def test_annotate_urls_batch():
     assert out.column("url_norm").to_pylist() == ["https://a.com/p", "https://b.com/q"]
     assert out.column("host").to_pylist() == ["a.com", "b.com"]
     assert out.column("url_hash").type == pa.uint64()
+
+
+URLISH = st.one_of(
+    st.text(max_size=60),
+    st.builds(
+        lambda scheme, host, path, q, frag: f"{scheme}://{host}{path}{q}{frag}",
+        st.sampled_from(["http", "https", "HTTP", "HTTPS", "ftp"]),
+        st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True),
+        st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,10}){0,4}/?", fullmatch=True),
+        st.one_of(st.just(""), st.from_regex(r"\?[A-Za-z0-9=&/]{0,12}", fullmatch=True)),
+        st.one_of(st.just(""), st.from_regex(r"#[A-Za-z0-9/?]{0,8}", fullmatch=True)),
+    ),
+)
+
+
+@given(URLISH)
+def test_fast_normalize_equals_reference_impl(u):
+    from game_review_crawler_ray.functions.urlnorm import _normalize_fast
+
+    assert _normalize_fast(u) == normalize_url(u)
