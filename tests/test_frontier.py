@@ -26,7 +26,13 @@ def _seed_table(urls):
 
 
 def _offer(shard, urls):
-    return shard.offer(_seed_table(urls))
+    """Offer + reconstruct the granted table from the compact response."""
+    t = _seed_table(urls)
+    g = shard.offer(t)
+    taken = t.take(pa.array(g["idx"], pa.int64()))
+    return (taken.append_column("grant_seq", pa.array(g["grant_seq"], pa.int64()))
+            .append_column("sched_s", pa.array(g["sched_s"], pa.float64()))
+            .append_column("wait_s", pa.array(g["wait_s"], pa.float64())))
 
 
 def test_first_request_no_wait_then_min_gap():
@@ -136,16 +142,19 @@ def test_bloom_seen_no_false_negatives():
     assert f1.tolist() == [True, True, False]
 
 
-def test_log_and_flush(tmp_path):
+def test_denied_log_and_flush(tmp_path):
+    """The shard logs only DENIED rows (robots/suspended); granted-row
+    lineage is written by the pipeline's write_log stage."""
     cfg = CrawlConfig(num_frontier_shards=1)
     sh = FrontierShard(0, cfg)
     sh.set_checkpoint_dir(str(tmp_path))
-    _offer(sh, [f"https://h.example.com/{i}" for i in range(10)])
-    sh.report_results([f"https://h.example.com/{i}" for i in range(10)],
-                      ["ok"] * 10, [1] * 10)
+    sh.set_robots("h.example.com", "User-agent: *\nDisallow: /blocked")
+    granted = _offer(sh, [f"https://h.example.com/blocked/{i}" for i in range(5)]
+                     + ["https://h.example.com/ok"])
+    assert granted.num_rows == 1
     path = sh.flush_log()
     import pyarrow.parquet as pq
     t = pq.read_table(path)
-    assert t.num_rows == 10
-    assert set(t.column("status").to_pylist()) == {"ok"}
+    assert t.num_rows == 5
+    assert set(t.column("status").to_pylist()) == {"robots_denied"}
     assert sh.flush_log() is None  # nothing new
