@@ -42,11 +42,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from game_review_crawler_ray.pipelines import analytics, textops
+    from game_review_crawler_ray.pipelines import analytics, issues, textops
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(analytics.QUERIES)
     out.update(textops.QUERIES)
+    out.update(issues.QUERIES)
     return out
 
 

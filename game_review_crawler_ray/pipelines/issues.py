@@ -1,0 +1,379 @@
+"""Issue detection + game analysis over crawled posts — the reference's
+``GameAnalyzer``/``IssueDetector`` tier (SURVEY.md §3.3) re-expressed on
+Ray Data.
+
+Formula parity (constants cited from /root/reference):
+
+- post sentiment: lexicon scoring of "title title body"
+  (sentiment.py:212-228), Korean fixture lexicon (functions/lexicon_ko).
+- keywords: each post's top-100 tokens; global frequency = number of posts
+  whose top-100 contains the token (keyword_extractor.py:219-249
+  Counter-over-lists semantics). Tie-break on equal counts is
+  lexicographic here (the reference inherits dict insertion order, which
+  is not a stable spec — documented deviation).
+- clustering: greedy first-fit vs cluster representative, threshold 0.5,
+  similarity = equality 1.0 / containment 0.8 / char-set Jaccard
+  (issue_detector.py:77-168). Order-dependent — runs on the driver over
+  the <=50 top keywords (SURVEY.md §7.3).
+- cluster stats: distinct posts whose top-100 keywords intersect the
+  cluster (issue_detector.py:170-207).
+- priority: 0.3*views/total_views + 0.3*comments/total_comments +
+  0.4*posts/total_posts (issue_detector.py:209-257).
+- bug flag: any cluster keyword containing a BUG_KEYWORDS entry
+  (issue_detector.py:478-481); severity = 0.5*min(1, n/total_posts) +
+  0.5*max(0, -sentiment_avg), thresholds 0.7/0.5/0.3
+  (issue_detector.py:334-380).
+- hot issues: top (1-0.9) fraction, >=1 (issue_detector.py:518-551).
+- hot posts: 0.4*views/max + 0.3*comments/max + 0.3*(1-score)/2, top
+  min(10%, 20) (issue_detector.py:664-791).
+- urgent: issue mentioned by >=10 posts in the trailing 24h window
+  (issue_detector.py:619-662 semantics).
+
+Distribution shape: two vectorized map_batches passes over posts (score +
+per-post keyword sets), partial keyword counts combined on the driver,
+cluster membership as broadcast-keyword containment pairs, and the greedy
+clustering + per-cluster math on the driver over <=50 rows.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from datetime import timedelta
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions.lexicon_ko import NEGATIVE_KO, POSITIVE_KO
+from ..functions.textproc import (
+    combined_post_text, extract_keywords_from_text,
+)
+from .analytics import SentimentScorer, _collect, round6
+
+BUG_KEYWORDS = {
+    "버그", "오류", "에러", "렉", "튕김", "접속불가",
+    "크래시", "프리징", "멈춤", "안됨", "불가", "안돼",
+    "오작동", "작동안함", "실행안됨", "로딩", "무한로딩",
+    "끊김", "팅김", "다운", "서버다운", "점검", "긴급점검",
+    "bug", "error", "crash", "freeze", "lag",
+}
+
+SEVERITY_ORDER = {"critical": 0, "high": 1, "medium": 2, "low": 3}
+
+
+def keyword_similarity(kw1: str, kw2: str) -> float:
+    """F4: equality 1.0, containment 0.8, else char-set Jaccard."""
+    if kw1 == kw2:
+        return 1.0
+    if kw1 in kw2 or kw2 in kw1:
+        return 0.8
+    s1, s2 = set(kw1), set(kw2)
+    union = len(s1 | s2)
+    return len(s1 & s2) / union if union else 0.0
+
+
+def cluster_keywords(keywords: list[str], threshold: float = 0.5) -> list[dict]:
+    """F5: greedy first-fit clustering vs the representative (first) keyword.
+    Order-dependent; runs single-threaded on the driver."""
+    clusters: list[list[str]] = []
+    for kw in keywords:
+        best_idx, best_sim = -1, 0.0
+        for ci, ckws in enumerate(clusters):
+            sim = keyword_similarity(kw, ckws[0])
+            if sim >= threshold and sim > best_sim:
+                best_sim, best_idx = sim, ci
+        if best_idx >= 0:
+            clusters[best_idx].append(kw)
+        else:
+            clusters.append([kw])
+    return [{"cluster_id": f"cluster_{i}", "keywords": kws, "representative": kws[0]}
+            for i, kws in enumerate(clusters)]
+
+
+def cluster_is_bug(keywords: list[str]) -> bool:
+    return any(
+        kw.lower() in BUG_KEYWORDS
+        or any(b in kw.lower() for b in BUG_KEYWORDS)
+        for kw in keywords
+    )
+
+
+def severity_from_metrics(post_count: int, sentiment_avg: float,
+                          max_post_count: int) -> str:
+    freq = min(1.0, post_count / max(max_post_count, 1))
+    senti = max(0.0, -sentiment_avg)
+    score = 0.5 * freq + 0.5 * senti
+    if score >= 0.7:
+        return "critical"
+    if score >= 0.5:
+        return "high"
+    if score >= 0.3:
+        return "medium"
+    return "low"
+
+
+# ---------------------------------------------------------------------------
+# Distributed passes
+# ---------------------------------------------------------------------------
+
+class _PostScore:
+    """Per-post pass: sentiment (title-weighted), bug flag, comment count."""
+
+    def __init__(self):
+        self.scorer = SentimentScorer(pos=POSITIVE_KO, neg=NEGATIVE_KO)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        title = batch["title"].fillna("")
+        body = batch["body"].fillna("")
+        combined = title + " " + title + " " + body
+        scored = self.scorer.score_frame(combined)
+        text_lower = (title + " " + body).str.lower()
+        is_bug = np.zeros(len(batch), dtype=bool)
+        for w in BUG_KEYWORDS:
+            is_bug |= text_lower.str.contains(w, regex=False).values
+        return pd.DataFrame({
+            "url": batch["url"].values,
+            "title": title.values,
+            "site": batch["site"].values,
+            "author": batch["author"].fillna("").values,
+            "created_at": batch["created_at"].values,
+            "view_count": batch["view_count"].values,
+            "like_count": batch["like_count"].values,
+            "n_comments": batch["comments"].map(
+                lambda c: len(c) if c is not None else 0).values,
+            "score": scored["score"].values,
+            "is_bug": is_bug,
+        })
+
+
+def _post_keywords_stage(top_set_ref, n_keep: int = 100):
+    """Per-post top-100 keywords; emits (url, token) membership pairs for
+    tokens in the broadcast top-keyword set, plus per-block partial global
+    counts when top_set_ref is None (first pass)."""
+
+    def stage(batch: pd.DataFrame) -> pd.DataFrame:
+        top = ray.get(top_set_ref) if top_set_ref is not None else None
+        if top is None:
+            counts: Counter = Counter()
+            for title, body, comments in zip(batch["title"], batch["body"],
+                                             batch["comments"]):
+                clist = comments if comments is not None else []
+                text = combined_post_text(
+                    title or "", body or "",
+                    [c["content"] for c in clist])
+                counts.update(extract_keywords_from_text(text, top_n=n_keep))
+            return pd.DataFrame({"token": list(counts.keys()),
+                                 "n": np.fromiter(counts.values(), np.int64,
+                                                  len(counts))})
+        rows_u, rows_t = [], []
+        for url, title, body, comments in zip(batch["url"], batch["title"],
+                                              batch["body"], batch["comments"]):
+            clist = comments if comments is not None else []
+            text = combined_post_text(
+                title or "", body or "",
+                [c["content"] for c in clist])
+            kws = set(extract_keywords_from_text(text, top_n=n_keep)) & top
+            for k in kws:
+                rows_u.append(url)
+                rows_t.append(k)
+        return pd.DataFrame({"url": rows_u, "token": rows_t})
+
+    return stage
+
+
+def top_keywords(posts: ray.data.Dataset, top_n: int = 50) -> list[str]:
+    """A3/K1: global top-N keywords (post-level presence counts)."""
+    part = posts.map_batches(_post_keywords_stage(None), batch_format="pandas")
+    merged: Counter = Counter()
+    for t in ray.get(part.to_arrow_refs()):
+        if t.num_rows:
+            for tok, n in zip(t.column("token").to_pylist(),
+                              t.column("n").to_pylist()):
+                merged[tok] += n
+    # deterministic tie-break: count desc, token asc
+    ordered = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [k for k, _ in ordered[:top_n]]
+
+
+def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
+                  urgent_hours: int = 24, urgent_min_posts: int = 10) -> dict:
+    """Full analysis: returns dict of small result tables (pa.Table)."""
+    scored_ds = posts.map_batches(_PostScore, concurrency=2,
+                                  batch_format="pandas")
+    scored = _collect(scored_ds).to_pandas()
+    n_posts = len(scored)
+    if n_posts == 0:
+        return {"issues": pa.table({}), "hot_posts": pa.table({}),
+                "summary": pa.table({})}
+
+    # --- sentiment distribution / avg (A1/A2) ---
+    dist = scored.groupby(
+        scored["score"].map(lambda s: "positive" if s > 0.1
+                            else ("negative" if s < -0.1 else "neutral"))
+    ).size()
+    avg_sentiment = float(round6(scored["score"].mean()))
+
+    # --- keywords + clusters ---
+    kws = top_keywords(posts, top_n_keywords)
+    clusters = cluster_keywords(kws)
+    top_ref = ray.put(set(kws))
+    pairs = _collect(posts.map_batches(_post_keywords_stage(top_ref),
+                                       batch_format="pandas")).to_pandas()
+
+    kw_cluster = {}
+    for c in clusters:
+        for k in c["keywords"]:
+            kw_cluster[k] = c["cluster_id"]
+    pairs["cluster_id"] = pairs["token"].map(kw_cluster)
+    cluster_posts = pairs.drop_duplicates(["cluster_id", "url"])[["cluster_id", "url"]]
+    cp = cluster_posts.merge(scored, on="url", how="left")
+
+    total_views = max(int(scored["view_count"].sum()), 1)
+    total_comments = max(int(scored["n_comments"].sum()), 1)
+
+    issues = []
+    max_ts = scored["created_at"].max()
+    urgent_cut = max_ts - timedelta(hours=urgent_hours) if pd.notna(max_ts) else None
+    for c in clusters:
+        sub = cp[cp["cluster_id"] == c["cluster_id"]]
+        post_count = len(sub)
+        views = int(sub["view_count"].sum())
+        comments = int(sub["n_comments"].sum())
+        senti_avg = float(round6(sub["score"].mean())) if post_count else 0.0
+        priority = (0.3 * views / total_views + 0.3 * comments / total_comments
+                    + 0.4 * post_count / max(n_posts, 1))
+        is_bug = cluster_is_bug(c["keywords"])
+        severity = (severity_from_metrics(post_count, senti_avg, n_posts)
+                    if is_bug else "low")
+        first_seen = sub["created_at"].min() if post_count else None
+        n_urgent = int((sub["created_at"] >= urgent_cut).sum()) \
+            if urgent_cut is not None and post_count else 0
+        issues.append({
+            "issue_id": c["cluster_id"],
+            "title": c["representative"],
+            "keywords": c["keywords"],
+            "post_count": post_count,
+            "total_views": views,
+            "total_comments": comments,
+            "priority_score": float(round6(priority)),
+            "is_bug": is_bug,
+            "severity": severity,
+            "sentiment_avg": senti_avg,
+            "first_seen": first_seen if pd.notna(first_seen) else None,
+            "is_urgent": n_urgent >= urgent_min_posts,
+        })
+
+    # K2 priority sort + K3 hot issues (top 10%, >=1)
+    issues.sort(key=lambda x: -x["priority_score"])
+    hot_count = max(1, int(len(issues) * 0.1))
+    for i, issue in enumerate(issues):
+        issue["is_hot"] = i < hot_count
+
+    # K5 bug severity sort
+    bug_issues = sorted(
+        (i for i in issues if i["is_bug"]),
+        key=lambda x: (SEVERITY_ORDER.get(x["severity"], 4), -x["priority_score"]))
+
+    # K4 hot posts
+    max_views = max(int(scored["view_count"].max()), 1)
+    max_comments = max(int(scored["n_comments"].max()), 1)
+    hot_score = (0.4 * np.minimum(scored["view_count"] / max_views, 1.0)
+                 + 0.3 * np.minimum(scored["n_comments"] / max_comments, 1.0)
+                 + 0.3 * (1.0 - scored["score"]) / 2.0)
+    hp = scored.assign(hot_score=round6(np.minimum(hot_score, 1.0)))
+    hp = hp.sort_values(["hot_score", "url"], ascending=[False, True])
+    k = min(max(1, int(n_posts * 0.1)), 20, n_posts)
+    hot_posts = hp.head(k)[["url", "title", "site", "author", "created_at",
+                            "view_count", "n_comments", "like_count",
+                            "hot_score", "score", "is_bug"]]
+
+    summary = pa.table({
+        "n_posts": pa.array([n_posts], pa.int64()),
+        "avg_sentiment": pa.array([avg_sentiment], pa.float64()),
+        "n_positive": pa.array([int(dist.get("positive", 0))], pa.int64()),
+        "n_negative": pa.array([int(dist.get("negative", 0))], pa.int64()),
+        "n_neutral": pa.array([int(dist.get("neutral", 0))], pa.int64()),
+        "n_issues": pa.array([len(issues)], pa.int64()),
+        "n_bug_issues": pa.array([len(bug_issues)], pa.int64()),
+        "n_hot_issues": pa.array([hot_count], pa.int64()),
+    })
+
+    issues_tbl = pa.Table.from_pylist([
+        {k: (v if k != "keywords" else list(v)) for k, v in i.items()}
+        for i in issues
+    ]) if issues else pa.table({})
+    return {
+        "issues": issues_tbl,
+        "bug_issues": pa.Table.from_pylist(bug_issues) if bug_issues else pa.table({}),
+        "hot_posts": pa.Table.from_pandas(hot_posts.reset_index(drop=True),
+                                          preserve_index=False),
+        "summary": summary,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Alerts (alert_manager.py:286-465 semantics, small driver-side data)
+# ---------------------------------------------------------------------------
+
+PRIORITY_ORDER = {"critical": 0, "high": 1, "medium": 2, "low": 3}
+
+
+def generate_alerts(analysis: dict) -> list[dict]:
+    """A12/T9: alerts for urgent issues, critical bugs and hot issues."""
+    alerts = []
+    issues = analysis["issues"].to_pylist() if analysis["issues"].num_rows else []
+    for i in issues:
+        if i.get("is_urgent"):
+            alerts.append({"alert_type": "urgent_issue", "priority": "critical",
+                           "title": f"긴급: {i['title']}", "issue_id": i["issue_id"]})
+        if i.get("is_bug") and i.get("severity") in ("critical", "high"):
+            alerts.append({"alert_type": "bug", "priority": i["severity"],
+                           "title": f"버그: {i['title']}", "issue_id": i["issue_id"]})
+        if i.get("is_hot"):
+            alerts.append({"alert_type": "hot_issue", "priority": "medium",
+                           "title": f"핫이슈: {i['title']}", "issue_id": i["issue_id"]})
+    alerts.sort(key=lambda a: PRIORITY_ORDER.get(a["priority"], 4))
+    return alerts
+
+
+# ---------------------------------------------------------------------------
+# Queries (rows-only: crawl-derived)
+# ---------------------------------------------------------------------------
+
+_ANALYSIS_CACHE: dict[str, dict] = {}
+
+
+def _analysis_for(sf_dir: str) -> dict:
+    import os
+
+    from .textops import _crawl_out
+
+    if sf_dir in _ANALYSIS_CACHE:
+        return _ANALYSIS_CACHE[sf_dir]
+    out = _crawl_out(sf_dir)
+    posts = ray.data.read_parquet(os.path.join(out, "posts"))
+    res = analyze_posts(posts)
+    _ANALYSIS_CACHE[sf_dir] = res
+    return res
+
+
+def q_detected_issues(sf_dir: str) -> pa.Table:
+    t = _analysis_for(sf_dir)["issues"]
+    return t.drop_columns(["keywords"]) if "keywords" in t.column_names else t
+
+
+def q_hot_posts(sf_dir: str) -> pa.Table:
+    return _analysis_for(sf_dir)["hot_posts"]
+
+
+def q_analysis_summary(sf_dir: str) -> pa.Table:
+    return _analysis_for(sf_dir)["summary"]
+
+
+QUERIES = {
+    "detected_issues": q_detected_issues,
+    "hot_posts": q_hot_posts,
+    "analysis_summary": q_analysis_summary,
+}

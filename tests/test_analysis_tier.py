@@ -1,0 +1,235 @@
+"""Issue detection, exports, search/seed-source tier."""
+
+import os
+from datetime import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from game_review_crawler_ray.functions.relevance import (
+    filter_by_relevance, relevance_score,
+)
+from game_review_crawler_ray.pipelines.issues import (
+    analyze_posts, cluster_is_bug, cluster_keywords, generate_alerts,
+    keyword_similarity, severity_from_metrics,
+)
+from game_review_crawler_ray.sources.search import (
+    AdapterThrottled, CorpusSearchAdapter, SearchCache, SearchManager,
+    build_query, pages_index_from_corpus,
+)
+
+
+# ---------------------------------------------------------------------------
+# pure-function parity (issue_detector.py formulas)
+# ---------------------------------------------------------------------------
+
+def test_keyword_similarity():
+    assert keyword_similarity("버그", "버그") == 1.0
+    assert keyword_similarity("버그", "버그수정") == 0.8
+    assert keyword_similarity("abc", "bcd") == 2 / 4
+    assert keyword_similarity("", "") == 1.0
+
+
+def test_greedy_clustering_total_and_order_dependent():
+    kws = ["버그", "버그수정", "이벤트", "이벤트보상", "렉"]
+    clusters = cluster_keywords(kws)
+    # every keyword in exactly one cluster (reference Property 7)
+    all_kws = [k for c in clusters for k in c["keywords"]]
+    assert sorted(all_kws) == sorted(kws)
+    assert clusters[0]["representative"] == "버그"
+    assert "버그수정" in clusters[0]["keywords"]
+
+
+def test_severity_thresholds():
+    assert severity_from_metrics(100, -1.0, 100) == "critical"   # 0.5+0.5
+    assert severity_from_metrics(0, -1.0, 100) == "high"         # 0.5
+    assert severity_from_metrics(0, -0.6, 100) == "medium"       # 0.3
+    assert severity_from_metrics(0, 0.5, 100) == "low"
+    # monotonic in frequency and negativity (reference Properties 17-18)
+    order = ["low", "medium", "high", "critical"]
+    prev = -1
+    for n in (0, 30, 60, 100):
+        s = order.index(severity_from_metrics(n, -0.45, 100))
+        assert s >= prev
+        prev = s
+
+
+def test_bug_cluster_classification():
+    assert cluster_is_bug(["무한로딩"])
+    assert cluster_is_bug(["서버렉입니다"])   # containment
+    assert not cluster_is_bug(["이벤트", "보상"])
+
+
+def test_relevance_formula():
+    # exact F1 formula: 1 keyword in title + snippet, freq 2
+    s = relevance_score("버그 있음", ["버그"], title="버그 제보")
+    base = 0.6 + 0.4
+    bonus = 0.3 * (1 - 1 / (1 + 0.2))
+    assert abs(s - min(1.0, base + bonus)) < 1e-12
+    assert relevance_score("nothing here", ["버그"]) == 0.0
+    kept = filter_by_relevance([("u1", "버그 제보", "버그 있음"),
+                                ("u2", "irrelevant", "text")], ["버그"], 0.5)
+    assert [k[0] for k in kept] == ["u1"]
+    assert 0.0 <= kept[0][3] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# analyze_posts end-to-end on a small synthetic posts table
+# ---------------------------------------------------------------------------
+
+def _posts_table():
+    rows = []
+    base = datetime(2024, 1, 10, 12, 0, 0)
+    for i in range(30):
+        bug = i % 3 == 0
+        body = ("버그 오류 때문에 게임이 튕김 최악 쓰레기 진짜 별로" if bug
+                else "이벤트 보상 최고 좋다 대박 갓겜 재밌다")
+        rows.append({
+            "url": f"https://h{i % 4}.example.com/p/{i}",
+            "title": "버그 제보" if bug else "이벤트 후기",
+            "body": body,
+            "site": f"h{i % 4}.example.com",
+            "keyword": "테스트",
+            "author": "유저",
+            "created_at": base.replace(hour=i % 24),
+            "view_count": 100 * (i + 1),
+            "like_count": i,
+            "comments": [{"author": "a", "content": "ㅇㅇ",
+                          "created_at": None, "like_count": 0}] * (i % 4),
+        })
+    return pa.Table.from_pylist(rows)
+
+
+def test_analyze_posts_pipeline():
+    posts = ray.data.from_arrow(_posts_table())
+    res = analyze_posts(posts)
+    issues = res["issues"].to_pylist()
+    assert issues
+    # priority descending (K2)
+    prios = [i["priority_score"] for i in issues]
+    assert prios == sorted(prios, reverse=True)
+    # hot issues top-10% >= 1 (K3)
+    assert sum(i["is_hot"] for i in issues) == max(1, int(len(issues) * 0.1))
+    # bug issues exist and carry severity (F6/F7)
+    bug = [i for i in issues if i["is_bug"]]
+    assert bug and all(i["severity"] in ("critical", "high", "medium", "low")
+                       for i in bug)
+    # negative sentiment on bug clusters, positive on event clusters
+    ev = [i for i in issues if "이벤트" in i["title"]]
+    if ev and bug:
+        assert bug[0]["sentiment_avg"] <= ev[0]["sentiment_avg"]
+    # hot posts (K4): bounded size, sorted desc
+    hp = res["hot_posts"].to_pylist()
+    assert 1 <= len(hp) <= 20
+    hs = [p["hot_score"] for p in hp]
+    assert hs == sorted(hs, reverse=True)
+    # summary
+    s = res["summary"].to_pylist()[0]
+    assert s["n_posts"] == 30
+    assert s["n_positive"] + s["n_negative"] + s["n_neutral"] == 30
+    # alerts
+    alerts = generate_alerts(res)
+    assert isinstance(alerts, list)
+    if alerts:
+        pr = [a["priority"] for a in alerts]
+        order = {"critical": 0, "high": 1, "medium": 2, "low": 3}
+        assert [order[p] for p in pr] == sorted(order[p] for p in pr)
+
+
+# ---------------------------------------------------------------------------
+# exports
+# ---------------------------------------------------------------------------
+
+def test_exports(tmp_path):
+    from game_review_crawler_ray.pipelines.exports import (
+        get_exporter, register_exporter, write_posts_csv, write_posts_json,
+        write_posts_partitioned, write_quicksight,
+    )
+
+    posts_tbl = _posts_table()
+    long_body = "x" * 1500
+    posts_tbl = posts_tbl.set_column(
+        posts_tbl.column_names.index("body"), "body",
+        pa.array([long_body] + posts_tbl.column("body").to_pylist()[1:]))
+    posts = ray.data.from_arrow(posts_tbl)
+
+    jp = write_posts_json(posts, str(tmp_path))
+    assert os.listdir(jp)
+    pp, cp = write_posts_csv(posts, str(tmp_path))
+    assert os.listdir(pp) and os.listdir(cp)
+    dp = write_posts_partitioned(posts, str(tmp_path))
+    parts = os.listdir(dp)
+    assert any(p.startswith("date_key=") for p in parts)
+    qs = write_quicksight(posts, None, str(tmp_path), game_id="g1")
+    import pandas as pd
+    import glob
+
+    posts_csv = pd.concat([pd.read_csv(f) for f in glob.glob(qs["posts"] + "/*")])
+    assert posts_csv["body"].str.len().max() <= 1000  # truncation (S9)
+    assert (posts_csv["comment_count"] >= 0).all()
+
+    # registry plugin surface
+    register_exporter("noop", lambda ds, o: "noop")
+    assert get_exporter("noop")(posts, "") == "noop"
+    with pytest.raises(ValueError):
+        get_exporter("nope")
+
+
+# ---------------------------------------------------------------------------
+# search tier
+# ---------------------------------------------------------------------------
+
+def _index():
+    from game_review_crawler_ray.sources.corpus import gen_pages
+
+    pages, _ = gen_pages(150, n_hosts=8, seed=11)
+    return pages_index_from_corpus(pages)
+
+
+def test_corpus_search_and_query():
+    idx = _index()
+    assert build_query(["버그", "몬헌"], "inven.co.kr") == "버그 AND 몬헌 site:inven.co.kr"
+    ad = CorpusSearchAdapter(idx)
+    res = ad.search(["업데이트"], "inven.co.kr", max_results=5)
+    assert len(res) <= 5
+    for r in res:
+        assert "inven.co.kr" in r.url
+
+
+def test_search_cache_ttl_and_key_canonicalization():
+    now = [1000.0]
+    cache = SearchCache(ttl=10, clock=lambda: now[0])
+    assert SearchCache.cache_key(["a", "b"], "s") == SearchCache.cache_key(["b", "a"], "s")
+    assert SearchCache.cache_key(["a"], "s1") != SearchCache.cache_key(["a"], "s2")
+    cache.put(["a", "b"], "s", ["r1"])
+    assert cache.get(["b", "a"], "s") == ["r1"]   # order-insensitive hit
+    now[0] += 11
+    assert cache.get(["a", "b"], "s") is None     # TTL expired
+    cache.put(["x"], "s", ["r2"])
+    now[0] += 11
+    assert cache.cleanup() == 1
+    assert cache.stats()["entries"] == 0
+
+
+def test_manager_failover_sticky_and_throttle():
+    idx = _index()
+    bad = CorpusSearchAdapter(idx, fail_times=1)
+    throttled = CorpusSearchAdapter(idx, throttle_times=1)
+    good = CorpusSearchAdapter(idx)
+    now = [0.0]
+    mgr = SearchManager(relevance_threshold=0.0, clock=lambda: now[0])
+    mgr.cache._clock = lambda: now[0]
+    for a in (bad, throttled, good):
+        mgr.register_adapter(a)
+    res = mgr.search(["업데이트"], "example.com")
+    # bad failed, throttled raised -> good served; sticky index moved to good
+    assert good.calls == 1 and mgr._current == 2
+    res2 = mgr.search(["서버"], "example.com")
+    assert good.calls == 2  # sticky adapter tried first
+    # throttled adapter stays cooled down until the window passes
+    assert mgr._throttled_until[1] > 0
+    # cache serves repeats without adapter calls
+    mgr.search(["서버"], "example.com")
+    assert good.calls == 2
