@@ -220,23 +220,31 @@ def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
     ann_task = ray.remote(lambda t: annotate_urls(t))
     ann_parts = ray.get([ann_task.remote(seeds.slice(i * per, per))
                          for i in range(n_slices)])
-    df = pa.concat_tables([t for t in ann_parts if t.num_rows]).to_pandas()
+    tbl = pa.concat_tables([t for t in ann_parts if t.num_rows])
     if exact_dedup:
-        # first-wins: rows arrive in seed_rank order, so keep='first' per
-        # url_norm equals the min-seed_rank winner (D1 semantics)
-        df = df.drop_duplicates(subset="url_norm", keep="first")
-    hosts_u = df["host"].unique()
-    shard_of = {h: url_hash64(h) % cfg.num_frontier_shards for h in hosts_u}
-    df = df.assign(_shard=df["host"].map(shard_of))
-    # stable sort by shard only: within a shard, seed_rank order is kept
-    df = df.sort_values("_shard", kind="stable")
-    tbl = pa.Table.from_pandas(df.drop(columns=["_shard"]),
-                               preserve_index=False)
-    # block layout: never span shards; split big shards into ~equal chunks
-    counts = df.groupby("_shard").size()
-    target = max(256, (len(df) + parallelism - 1) // parallelism)
+        # first-wins: rows are in seed_rank order, so dropping later
+        # duplicates per url_norm equals the min-seed_rank winner (D1).
+        # pandas only sees the one string column; the table itself stays
+        # arrow (no full to_pandas round-trip).
+        norms = tbl.column("url_norm").to_pandas()
+        keep = ~norms.duplicated(keep="first").to_numpy()
+        tbl = tbl.filter(pa.array(keep))
+    hosts = tbl.column("host").to_pandas()
+    shard_of = {h: url_hash64(h) % cfg.num_frontier_shards
+                for h in hosts.unique()}
+    shard_ids = hosts.map(shard_of).to_numpy(dtype=np.int64)
+    order = np.argsort(shard_ids, kind="stable")
+    tbl = tbl.take(pa.array(order))
+    shard_sorted = shard_ids[order]
+    # block layout: never span shards; split big shards into ~equal chunks.
+    # Rows per block are capped: every block later carries its pages' html
+    # (~2KB/row), and oversized html-laden blocks blow up worker heaps and
+    # the object store (8k rows ≈ 16MB of html per block).
+    uniq, cnts = np.unique(shard_sorted, return_counts=True)
+    counts = dict(zip(uniq.tolist(), cnts.tolist()))
+    target = max(256, min((tbl.num_rows + parallelism - 1) // parallelism, 8192))
     blocks, start = [], 0
-    for shard, cnt in counts.sort_index().items():
+    for shard, cnt in sorted(counts.items()):
         n_chunks = max(1, round(cnt / target))
         per = (cnt + n_chunks - 1) // n_chunks
         off = 0

@@ -211,6 +211,93 @@ class FrontierShard:
         return self._robots_allowed(host, batch.column("url")[i].as_py())
 
     # ------------------------------------------------------------------
+    # Pull model: per-host PRIORITY QUEUES drained in politeness order.
+    #
+    # The streaming corpus pipeline uses the inline-grant offer() above
+    # (arrival order == seed order after the exact-dedup prep). A live
+    # HTTP crawl instead enqueues discovered URLs with a priority and
+    # pulls batches as hosts become polite-able — bounded in-flight per
+    # host, highest-priority URL first within a host, earliest next-free
+    # host first across hosts.
+    # ------------------------------------------------------------------
+
+    def enqueue(self, batch: pa.Table) -> int:
+        """Admit candidate URLs into per-host priority queues (dedup via the
+        seen shard). Priority = seed_rank (lower = sooner). Returns the
+        number of URLs enqueued."""
+        import heapq
+
+        hashes = np.asarray(batch.column("url_hash").to_numpy(zero_copy_only=False),
+                            dtype=np.uint64)
+        fresh = self.seen.add_if_new(hashes)
+        urls = batch.column("url").to_pylist()
+        norms = batch.column("url_norm").to_pylist()
+        hosts = batch.column("host").to_pylist()
+        ranks = batch.column("seed_rank").to_pylist()
+        kws = batch.column("keyword").to_pylist()
+        if not hasattr(self, "_queues"):
+            self._queues: dict[str, list] = {}
+        added = 0
+        for i in np.nonzero(fresh)[0]:
+            host = hosts[i]
+            heapq.heappush(self._queues.setdefault(host, []),
+                           (ranks[i], urls[i], norms[i], kws[i]))
+            added += 1
+        return added
+
+    def drain(self, limit: int = 1024) -> pa.Table:
+        """Pop up to ``limit`` grants in global politeness order: the host
+        whose virtual clock frees earliest goes first; within a host, the
+        highest-priority queued URL. Suspended/robots-denied URLs are
+        logged and skipped (same semantics as offer())."""
+        import heapq
+
+        queues = getattr(self, "_queues", None) or {}
+        ready = [(self._host_state(h).next_free_s, h) for h, q in queues.items() if q]
+        heapq.heapify(ready)
+        out = {n: [] for n in GRANT_SCHEMA.names}
+        n_out = 0
+        while ready and n_out < limit:
+            _, host = heapq.heappop(ready)
+            q = queues[host]
+            rank, url, norm, kw = heapq.heappop(q)
+            st = self._host_state(host)
+            if st.suspended or not self._robots_allowed(host, url):
+                status = "suspended" if st.suspended else "robots_denied"
+                self._log_row(url, norm, host, status, 0, 0.0, -1, rank,
+                              st.next_free_s)
+            else:
+                k = st.count
+                wait = 0.0 if k == 0 else st.delay + self._jitter(host, k)
+                sched = st.next_free_s + wait
+                st.next_free_s = sched
+                st.count += 1
+                grant_seq = (self._grant_counter * self.cfg.num_frontier_shards
+                             + self.shard_id)
+                self._grant_counter += 1
+                from ..functions.urlnorm import url_hash64 as _h64
+
+                out["url"].append(url)
+                out["url_norm"].append(norm)
+                out["url_hash"].append(_h64(norm))
+                out["host"].append(host)
+                out["keyword"].append(kw)
+                out["discovered_seq"].append(rank)
+                out["grant_seq"].append(grant_seq)
+                out["sched_s"].append(sched)
+                out["wait_s"].append(wait)
+                n_out += 1
+            if q:
+                heapq.heappush(ready, (self._host_state(host).next_free_s, host))
+        return pa.Table.from_arrays(
+            [pa.array(out[n], GRANT_SCHEMA.field(n).type)
+             for n in GRANT_SCHEMA.names],
+            schema=GRANT_SCHEMA)
+
+    def queue_depth(self) -> int:
+        return sum(len(q) for q in getattr(self, "_queues", {}).values())
+
+    # ------------------------------------------------------------------
     def report_429(self, host: str) -> tuple[bool, float]:
         """Exponential backoff on HTTP 429 (rate_limiter.py:213-257)."""
         st = self._host_state(host)

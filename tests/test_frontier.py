@@ -158,3 +158,55 @@ def test_denied_log_and_flush(tmp_path):
     assert t.num_rows == 5
     assert set(t.column("status").to_pylist()) == {"robots_denied"}
     assert sh.flush_log() is None  # nothing new
+
+
+def test_priority_queue_pull_model():
+    """enqueue/drain: per-host priority order + global politeness order."""
+    cfg = CrawlConfig(num_frontier_shards=1, jitter_enabled=False)
+    sh = FrontierShard(0, cfg)
+    # enqueue out of priority order across two hosts
+    urls = [("https://a.example.com/3", 3), ("https://a.example.com/1", 1),
+            ("https://b.example.com/2", 2), ("https://a.example.com/5", 5),
+            ("https://b.example.com/0", 0)]
+    t = annotate_urls(pa.table({
+        "url": [u for u, _ in urls],
+        "seed_rank": [r for _, r in urls],
+        "keyword": ["k"] * len(urls),
+    }))
+    assert sh.enqueue(t) == 5
+    assert sh.queue_depth() == 5
+    g = sh.drain(limit=10)
+    rows = g.to_pylist()
+    # within each host: priority (seed_rank) ascending
+    for host in ("a.example.com", "b.example.com"):
+        ranks = [r["discovered_seq"] for r in rows if r["host"] == host]
+        assert ranks == sorted(ranks)
+    # politeness: per-host gaps >= delay (jitter disabled)
+    for host in ("a.example.com", "b.example.com"):
+        scheds = sorted(r["sched_s"] for r in rows if r["host"] == host)
+        for x, y in zip(scheds, scheds[1:]):
+            assert y - x >= cfg.default_delay - 1e-9
+    # drained everything; idempotent on empty
+    assert sh.queue_depth() == 0
+    assert sh.drain().num_rows == 0
+    # dedup on enqueue
+    assert sh.enqueue(t) == 0
+
+
+def test_priority_queue_respects_limit_and_suspension():
+    cfg = CrawlConfig(num_frontier_shards=1, jitter_enabled=False)
+    sh = FrontierShard(0, cfg)
+    t = annotate_urls(pa.table({
+        "url": [f"https://h.example.com/{i}" for i in range(6)],
+        "seed_rank": list(range(6)),
+        "keyword": ["k"] * 6,
+    }))
+    sh.enqueue(t)
+    g1 = sh.drain(limit=2)
+    assert g1.num_rows == 2 and sh.queue_depth() == 4
+    # suspend the host: remaining urls drain as logged denials, not grants
+    for _ in range(4):
+        sh.report_429("h.example.com")
+    g2 = sh.drain(limit=10)
+    assert g2.num_rows == 0
+    assert sh.queue_depth() == 0
