@@ -54,6 +54,29 @@ def _collect(ds: ray.data.Dataset) -> pa.Table:
     return pa.concat_tables(tables)
 
 
+def _combine_partials(part: ray.data.Dataset, keys: list[str],
+                      sums: list[str]) -> pa.Table:
+    """Collect per-block partial aggregates and finish the (small-key)
+    combine on the driver with pandas.
+
+    Ray's sort-based ``groupby().sum()`` is an all-to-all that this replaces:
+    the partial frames are already tiny (one row per key per block), so the
+    final combine is microseconds — and it avoids the plan re-execution that
+    ``to_arrow_refs`` after an AllToAll op incurs.
+    """
+    dfs = []
+    for blk in ray.get(part.to_arrow_refs()):
+        if isinstance(blk, pd.DataFrame):
+            if len(blk):
+                dfs.append(blk)
+        elif blk.num_rows:
+            dfs.append(blk.to_pandas())
+    if not dfs:
+        return pa.table({})
+    merged = pd.concat(dfs).groupby(keys, as_index=False)[sums].sum()
+    return pa.Table.from_pandas(merged, preserve_index=False)
+
+
 def _docs(sf_dir: str, columns=None) -> ray.data.Dataset:
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
@@ -159,8 +182,8 @@ def q_sentiment_distribution(sf_dir: str) -> pa.Table:
         return batch.groupby("label", as_index=False).agg(n=("doc_id", "size"))
 
     part = scored.map_batches(partial, batch_format="pandas")
-    final = part.groupby("label").sum("n")
-    tbl = _collect(final).rename_columns(["label", "n_docs"])
+    tbl = _combine_partials(part, ["label"], ["n"]).rename_columns(
+        ["label", "n_docs"])
     return tbl.sort_by("label")
 
 
@@ -241,8 +264,7 @@ def _tokenize_partial(batch: pd.DataFrame) -> pd.DataFrame:
 def q_token_counts_top50(sf_dir: str) -> pa.Table:
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     part = ds.map_batches(_tokenize_partial, batch_format="pandas")
-    final = part.groupby("token").sum("n")
-    tbl = _collect(final)
+    tbl = _combine_partials(part, ["token"], ["n"])
     tbl = tbl.rename_columns(["token", "n_occurrences"])
     tbl = tbl.sort_by([("n_occurrences", "descending"), ("token", "ascending")])
     return tbl.slice(0, 50)
@@ -277,8 +299,7 @@ def q_keyword_doc_mapping(sf_dir: str) -> pa.Table:
 
     ds = _docs(sf_dir, columns=["doc_id", "text", "n_chars"])
     part = ds.map_batches(pairs, batch_format="pandas")
-    final = part.groupby("token").sum(["dc", "tc"])
-    tbl = _collect(final)
+    tbl = _combine_partials(part, ["token"], ["dc", "tc"])
     tbl = tbl.rename_columns(["token", "doc_count", "total_chars"])
     return tbl.sort_by("token")
 
@@ -377,9 +398,7 @@ def _trend(sf_dir: str, unit: str) -> pa.Table:
         return g.rename_columns(["date", "s", "n"])
 
     part = ds.map_batches(bucket, batch_format="pyarrow")
-    final = part.groupby("date").sum(["s", "n"])
-    tbl = _collect(final)
-    tbl = tbl.rename_columns(["date", "s", "n"])
+    tbl = _combine_partials(part, ["date"], ["s", "n"])
     value = round6(np.array(tbl.column("s")) / np.array(tbl.column("n")))
     out = pa.table({
         "date": tbl.column("date"),
@@ -569,9 +588,7 @@ def q_hot_users_topk(sf_dir: str) -> pa.Table:
         return g
 
     part = ds.map_batches(partial, batch_format="pandas")
-    final = part.groupby("user_id").sum(["n_view", "n_click", "n_error"])
-    tbl = _collect(final)
-    tbl = tbl.rename_columns(["user_id", "n_view", "n_click", "n_error"])
+    tbl = _combine_partials(part, ["user_id"], ["n_view", "n_click", "n_error"])
     nv = np.array(tbl.column("n_view"), dtype=np.float64)
     ncl = np.array(tbl.column("n_click"), dtype=np.float64)
     ne = np.array(tbl.column("n_error"), dtype=np.float64)
@@ -614,9 +631,7 @@ def q_urgent_window(sf_dir: str) -> pa.Table:
         return sel.groupby("user_id", as_index=False).agg(n_errors=("ts", "size"))
 
     part = ds.map_batches(partial, batch_format="pandas")
-    final = part.groupby("user_id").sum("n_errors")
-    tbl = _collect(final)
-    tbl = tbl.rename_columns(["user_id", "n_errors"])
+    tbl = _combine_partials(part, ["user_id"], ["n_errors"])
     tbl = tbl.filter(pc.greater_equal(tbl.column("n_errors"), 2))
     return tbl.sort_by("user_id")
 
@@ -644,8 +659,7 @@ def q_site_stats(sf_dir: str) -> pa.Table:
         return g
 
     part = ds.map_batches(partial, batch_format="pandas")
-    final = part.groupby(["source", "lang"]).sum(["n", "s"])
-    tbl = _collect(final)
+    tbl = _combine_partials(part, ["source", "lang"], ["n", "s"])
     tbl = tbl.rename_columns(["source", "lang", "n_docs", "s"])
     avg = round6(np.array(tbl.column("s"), dtype=np.float64)
                  / np.array(tbl.column("n_docs"), dtype=np.float64))
@@ -685,8 +699,7 @@ def q_events_per_nation(sf_dir: str) -> pa.Table:
 
     ds = _events(sf_dir, columns=["user_id", "value"])
     part = ds.map_batches(partial, batch_format="pandas")
-    final = part.groupby("n_name").sum(["n", "s"])
-    tbl = _collect(final)
+    tbl = _combine_partials(part, ["n_name"], ["n", "s"])
     tbl = tbl.rename_columns(["n_name", "n_events", "s"])
     out = pa.table({
         "n_name": tbl.column("n_name"),
