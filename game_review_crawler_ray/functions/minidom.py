@@ -352,9 +352,130 @@ class _TreeBuilder(HTMLParser):
             self.stack[-1].children.append(TextNode(data, self.stack[-1]))
 
 
-def parse_html(html: str) -> Element:
-    """Parse an HTML string into a document root Element."""
+def parse_html_stdlib(html: str) -> Element:
+    """Parse via html.parser (reference tokenizer, slower)."""
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
     return builder.root
+
+
+# ---------------------------------------------------------------------------
+# Fast tokenizer: a regex scanner for the well-formed-HTML common case.
+# Equivalence-tested against parse_html_stdlib over the generated corpus and
+# randomized documents; any structural surprise falls back to the stdlib
+# parser for the whole document.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"<(?:(!--)|(!)|(/))?\s*([a-zA-Z][a-zA-Z0-9-]*)?", re.S)
+_ATTR_RE = re.compile(
+    r"""\s+([a-zA-Z_:][-a-zA-Z0-9_:.]*)(?:\s*=\s*("([^"]*)"|'([^']*)'|[^\s>]+))?"""
+)
+_HAS_ENTITY_RE = re.compile(r"&")
+
+
+def _unescape(text: str) -> str:
+    if "&" in text:
+        import html as _html
+
+        return _html.unescape(text)
+    return text
+
+
+def parse_html_fast(html: str) -> Element:
+    root = Element("[document]", {}, None)
+    stack = [root]
+    i, n = 0, len(html)
+    while i < n:
+        lt = html.find("<", i)
+        if lt < 0:
+            if i < n:
+                top = stack[-1]
+                top.children.append(TextNode(_unescape(html[i:]), top))
+            break
+        if lt > i:
+            top = stack[-1]
+            top.children.append(TextNode(_unescape(html[i:lt]), top))
+        m = _TOKEN_RE.match(html, lt)
+        if m is None:
+            raise ValueError("unparseable tag")
+        comment, bang, closing, name = m.groups()
+        if comment:
+            end = html.find("-->", lt + 4)
+            if end < 0:
+                break
+            i = end + 3
+            continue
+        if bang:  # doctype / CDATA-ish: skip to '>'
+            end = html.find(">", lt)
+            if end < 0:
+                break
+            i = end + 1
+            continue
+        if name is None:
+            # a bare '<' in text (html.parser treats it as data up to the
+            # next tag in ways we don't replicate) -> fall back
+            raise ValueError("stray <")
+        name = name.lower()
+        if closing:
+            end = html.find(">", m.end())
+            if end < 0:
+                break
+            if name not in VOID_ELEMENTS:
+                for j in range(len(stack) - 1, 0, -1):
+                    if stack[j].tag == name:
+                        del stack[j:]
+                        break
+            i = end + 1
+            continue
+        # start tag: scan attributes
+        attrs: dict[str, str] = {}
+        pos = m.end()
+        while True:
+            am = _ATTR_RE.match(html, pos)
+            if am is None:
+                break
+            key = am.group(1).lower()
+            if am.group(3) is not None:
+                val = am.group(3)
+            elif am.group(4) is not None:
+                val = am.group(4)
+            elif am.group(2) is not None:
+                val = am.group(2)
+            else:
+                val = ""
+            if key not in attrs:
+                attrs[key] = _unescape(val)
+            pos = am.end()
+        gt = html.find(">", pos)
+        if gt < 0:
+            break
+        self_closing = html[gt - 1] == "/"
+        el = Element(name, attrs, stack[-1])
+        stack[-1].children.append(el)
+        i = gt + 1
+        if self_closing or name in VOID_ELEMENTS:
+            continue
+        if name in RAWTEXT_ELEMENTS:
+            close = html.lower().find(f"</{name}", i)
+            if close < 0:
+                raw = html[i:]
+                i = n
+            else:
+                raw = html[i:close]
+                end_gt = html.find(">", close)
+                i = (end_gt + 1) if end_gt >= 0 else n
+            if raw:
+                el.children.append(TextNode(raw, el))
+            continue
+        stack.append(el)
+    return root
+
+
+def parse_html(html: str) -> Element:
+    """Parse an HTML string into a document root Element (fast tokenizer
+    with stdlib fallback)."""
+    try:
+        return parse_html_fast(html)
+    except Exception:
+        return parse_html_stdlib(html)

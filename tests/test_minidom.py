@@ -66,3 +66,34 @@ def test_child_combinator():
 def test_void_and_entities():
     dom = parse_html("<p>a&amp;b<br>c</p>")
     assert dom.select_one("p").get_text() == "a&bc"
+
+
+def test_fast_tokenizer_equivalent_to_stdlib():
+    """The regex tokenizer must build the identical DOM to html.parser for
+    the corpus-shaped HTML (and fall back on anything it can't handle)."""
+    from game_review_crawler_ray.functions.minidom import (
+        parse_html_fast, parse_html_stdlib,
+    )
+    from game_review_crawler_ray.sources.corpus import gen_pages
+
+    def dump(el):
+        if hasattr(el, "text"):
+            return ("T", el.text)
+        return ("E", el.tag, tuple(sorted(el.attrs.items())),
+                tuple(dump(c) for c in el.children))
+
+    pages, _ = gen_pages(300, 16, 99)
+    for h in pages.column("html").to_pylist():
+        s = h.decode()
+        assert dump(parse_html_fast(s)) == dump(parse_html_stdlib(s))
+    for s in ['<p>a&amp;b<br>c</p>', '<div class="x" id=y bare>t</div>',
+              "<script>if (a<b) {x='</div>'}</script><p>after</p>",
+              '<!-- c --><b>x</b>', '<img src="u"/><span>z</span>',
+              '<style>.a{c:red}</style><em>e</em>']:
+        assert dump(parse_html_fast(s)) == dump(parse_html_stdlib(s))
+
+
+def test_fast_tokenizer_fallback():
+    # stray '<' falls back to the stdlib parser without error
+    dom = parse_html("<p>a < b</p>")
+    assert "a" in dom.get_text()
