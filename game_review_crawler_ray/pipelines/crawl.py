@@ -11,14 +11,16 @@ Ray-Data-first shape (SURVEY.md §3.1 mapping):
       → filter(ok) → write_parquet(out/posts)   [streaming sink]
 
 The frontier actor pool (host-sharded politeness + seen set + robots +
-lineage) is the only non-Dataset state; everything else streams with
-backpressure. Dedup has two modes:
+denied-row lineage) is the only non-Dataset state; everything else streams
+with backpressure. Dedup has two modes:
 
-- ``exact`` (default, conformance): distributed ``groupby(url_norm)``
-  keeping the min ``seed_rank`` — byte-identical first-wins membership and
-  retained-URL vs the reference (url_deduplicator.py:40-62), at the cost of
-  one shuffle of the (tiny) seed table.
-- ``frontier`` (scale): no shuffle; the sharded bloom/exact seen-set in the
+- ``exact`` (default, conformance): first-wins by min ``seed_rank`` per
+  url_norm — byte-identical membership and retained-URL vs the reference
+  (url_deduplicator.py:40-62). Done in the seed prep (duplicated-mask over
+  the rank-ordered table) for table inputs, or as a per-block partial-min
+  combiner (``dedup_first_wins``) for Dataset inputs — no all-to-all
+  shuffle either way.
+- ``frontier`` (scale): no prep; the sharded bloom/exact seen-set in the
   frontier dedups on arrival. Membership identical (modulo documented bloom
   FPP); the retained URL string for near-duplicate variants is
   first-arrival rather than first-in-seed-order.
