@@ -58,8 +58,17 @@ class CorpusFetcher:
             self._hashes_sorted, self._order = ray.get(index_ref)
         else:
             self._hashes_sorted, self._order = build_corpus_index(corpus)
-        self._html = corpus.column("html").combine_chunks()
-        self._warc = corpus.column("warc_ts").combine_chunks()
+        # html stays a list of chunks: both combine_chunks AND
+        # ChunkedArray.take concatenate >2GB of binary into one array,
+        # overflowing 32-bit offsets (observed at the 3M-page corpus).
+        # _take_chunked gathers per chunk instead, never touching the
+        # full column.
+        self._html_chunks = corpus.column("html").chunks
+        self._html_bounds = np.cumsum(
+            [0] + [len(c) for c in self._html_chunks], dtype=np.int64)
+        self._warc = corpus.column("warc_ts").combine_chunks() \
+            if isinstance(corpus.column("warc_ts"), pa.ChunkedArray) \
+            else corpus.column("warc_ts")
         self._frontier = frontier_handles
         self._num_shards = num_shards
         self._rate_limited = dict(rate_limited or {})
@@ -95,16 +104,40 @@ class CorpusFetcher:
         else:
             statuses = np.where(found, "ok", "not_found").tolist()
             attempts = np.ones(n, dtype=np.int32)
-        take = pa.array(np.where(found, idx, 0), pa.int64())
+        take_np = np.where(found, idx, 0).astype(np.int64)
         out = (
-            batch.append_column("html", self._html.take(take))
-            .append_column("warc_ts", self._warc.take(take))
+            batch.append_column("html", self._take_html(take_np))
+            .append_column("warc_ts", self._warc.take(pa.array(take_np)))
             .append_column("status", pa.array(statuses, pa.string()))
             .append_column("attempt", pa.array(attempts, pa.int32()))
         )
         if os.environ.get("GRC_TIMING"):
             print(f"[fetch] {n} rows {time.perf_counter()-_t0:.3f}s")
         return out
+
+    def _take_html(self, idx: np.ndarray) -> pa.Array:
+        """take() over the chunked html column without concatenating the
+        source: group indices per chunk, take within each chunk (small
+        outputs), then restore the original order."""
+        ci = np.searchsorted(self._html_bounds, idx, side="right") - 1
+        local = idx - self._html_bounds[ci]
+        order = np.argsort(ci, kind="stable")
+        inv = np.empty(len(idx), dtype=np.int64)
+        inv[order] = np.arange(len(idx))
+        parts = []
+        start = 0
+        ci_sorted = ci[order]
+        local_sorted = local[order]
+        while start < len(idx):
+            c = ci_sorted[start]
+            end = start
+            while end < len(idx) and ci_sorted[end] == c:
+                end += 1
+            parts.append(self._html_chunks[int(c)].take(
+                pa.array(local_sorted[start:end])))
+            start = end
+        grouped = pa.concat_arrays(parts) if len(parts) != 1 else parts[0]
+        return grouped.take(pa.array(inv))
 
     # ------------------------------------------------------------------
     def _slow_path(self, batch: pa.Table, found: np.ndarray):
