@@ -52,9 +52,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from game_review_crawler_ray.pipelines import analytics, textops
+    from game_review_crawler_ray.pipelines import analytics, issues, textops
 
     out: dict[str, str] = {}
     out.update(analytics.ORACLE_SQL)
     out.update(textops.ORACLE_SQL)
+    out.update(issues.ORACLE_SQL)
     return out

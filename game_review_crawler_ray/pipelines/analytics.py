@@ -100,7 +100,7 @@ class SentimentScorer:
         self.pos = [re.compile(re.escape(w)) for w in (pos or EN_POS)]
         self.neg = [re.compile(re.escape(w)) for w in (neg or EN_NEG)]
 
-    def score_frame(self, texts: pd.Series) -> pd.DataFrame:
+    def score_frame(self, texts: pd.Series, raw: bool = False) -> pd.DataFrame:
         t = texts.fillna("").str.lower().str.replace(r"\s+", " ", regex=True).str.strip()
         pos_cnt = sum(t.str.count(p) for p in self.pos)
         neg_cnt = sum(t.str.count(p) for p in self.neg)
@@ -115,6 +115,8 @@ class SentimentScorer:
         n_words = np.where(t.str.len() == 0, 0, n_words)
         conf = np.where(n_words == 0, 0.5,
                         np.minimum(1.0, 0.5 + (total / np.where(n_words == 0, 1, n_words)) * 0.5))
+        if raw:  # unrounded, for formulas that combine scores downstream
+            return pd.DataFrame({"score": score, "label": label, "confidence": conf})
         return pd.DataFrame({
             "score": round6(score), "label": label, "confidence": round6(conf),
         })

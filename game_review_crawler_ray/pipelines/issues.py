@@ -314,6 +314,141 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
 
 
 # ---------------------------------------------------------------------------
+# F3: combined post+comment sentiment (sentiment.py:249-287)
+# ---------------------------------------------------------------------------
+
+class CombinedSentiment:
+    """Per-post combined sentiment: ``clamp(0.7*post + 0.3*mean(comments))``
+    with confidence ``(post_conf + mean(comment_conf)) / 2`` — the
+    reference's ``analyze_post_with_comments`` (sentiment.py:249-287).
+    Posts without comments fall back to the plain post result.
+
+    Vectorized: comment contents are flattened once per batch via
+    ``pc.list_flatten`` and scored in one pass; per-post means come from
+    ``np.add.at`` over ``pc.list_parent_indices``.
+    """
+
+    def __init__(self):
+        self.scorer = SentimentScorer(pos=POSITIVE_KO, neg=NEGATIVE_KO)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        title = batch.column("title").to_pandas().fillna("")
+        body = batch.column("body").to_pandas().fillna("")
+        post = self.scorer.score_frame(title + " " + title + " " + body, raw=True)
+        comments = batch.column("comments")
+        if isinstance(comments, pa.ChunkedArray):
+            comments = comments.combine_chunks()
+        parent = pc.list_parent_indices(comments).to_numpy(zero_copy_only=False)
+        contents = pc.list_flatten(comments).field("content").to_pandas()
+        cres = self.scorer.score_frame(contents, raw=True)
+
+        n = batch.num_rows
+        c_cnt = np.zeros(n, dtype=np.int64)
+        c_sum = np.zeros(n, dtype=np.float64)
+        c_conf_sum = np.zeros(n, dtype=np.float64)
+        np.add.at(c_cnt, parent, 1)
+        np.add.at(c_sum, parent, cres["score"].to_numpy())
+        np.add.at(c_conf_sum, parent, cres["confidence"].to_numpy())
+        has_c = c_cnt > 0
+        denom = np.maximum(c_cnt, 1)
+        c_avg, c_conf_avg = c_sum / denom, c_conf_sum / denom
+
+        p = post["score"].to_numpy()
+        p_conf = post["confidence"].to_numpy()
+        score = np.where(has_c, np.clip(0.7 * p + 0.3 * c_avg, -1.0, 1.0), p)
+        conf = np.where(has_c, (p_conf + c_conf_avg) / 2.0, p_conf)
+        label = np.where(score > 0.1, "positive",
+                         np.where(score < -0.1, "negative", "neutral"))
+        return pa.table({
+            "url": batch.column("url"),
+            "score": pa.array(round6(score), pa.float64()),
+            "label": pa.array(label, pa.string()),
+            "confidence": pa.array(round6(conf), pa.float64()),
+        })
+
+
+def combined_post_sentiment(posts: ray.data.Dataset) -> ray.data.Dataset:
+    return posts.map_batches(CombinedSentiment, concurrency=(2, 8),
+                             batch_format="pyarrow")
+
+
+def q_combined_sentiment(sf_dir: str) -> pa.Table:
+    import os
+
+    from .textops import _crawl_out
+
+    out = _crawl_out(sf_dir)
+    posts = ray.data.read_parquet(os.path.join(out, "posts"),
+                                  columns=["url", "title", "body", "comments"])
+    return _collect(combined_post_sentiment(posts)).sort_by("url")
+
+
+# Correctness gate runs at sf0.01, whose cached crawl lives at this
+# deterministic path (textops._crawl_out: n=10000, hosts=50). The Ray query
+# runs first and materializes it; the oracle then recomputes the formula
+# from the raw parquet with DuckDB.
+_CRAWL01_POSTS = "/tmp/grc_crawl/run_n10000_h50/posts/*.parquet"
+
+
+def _ko_count_expr(words: list[str]) -> str:
+    return " + ".join(
+        f"(length(t) - length(replace(t, '{w}', ''))) / {len(w)}" for w in words)
+
+
+_SCORE_CASE = ("CASE WHEN pos_cnt + neg_cnt = 0 THEN 0.0 "
+               "ELSE GREATEST(-1.0, LEAST(1.0, "
+               "(pos_cnt - neg_cnt) / CAST(pos_cnt + neg_cnt AS DOUBLE))) END")
+_CONF_CASE = ("CASE WHEN n_words = 0 THEN 0.5 "
+              "ELSE LEAST(1.0, 0.5 + ((pos_cnt + neg_cnt) / "
+              "CAST(n_words AS DOUBLE)) * 0.5) END")
+
+SQL_COMBINED_SENTIMENT = """
+WITH posts AS (
+    SELECT url, coalesce(title, '') AS title, coalesce(body, '') AS body, comments
+    FROM read_parquet('{path}')
+), p AS (
+    SELECT url, trim(regexp_replace(lower(title || ' ' || title || ' ' || body),
+                                    '\\s+', ' ', 'g')) AS t
+    FROM posts
+), ps AS (
+    SELECT url, {pos} AS pos_cnt, {neg} AS neg_cnt,
+           CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_words
+    FROM p
+), pscore AS (
+    SELECT url, {score_case} AS p_score, {conf_case} AS p_conf FROM ps
+), com AS (
+    SELECT url, trim(regexp_replace(lower(coalesce(c.content, '')), '\\s+', ' ', 'g')) AS t
+    FROM (SELECT url, unnest(comments) AS c FROM posts)
+), cs AS (
+    SELECT url, {pos} AS pos_cnt, {neg} AS neg_cnt,
+           CASE WHEN t = '' THEN 0 ELSE len(string_split(t, ' ')) END AS n_words
+    FROM com
+), cscore AS (
+    SELECT url, avg({score_case}) AS c_score, avg({conf_case}) AS c_conf,
+           count(*) AS n
+    FROM cs GROUP BY url
+), fin AS (
+    SELECT p.url,
+           CASE WHEN c.n IS NULL OR c.n = 0 THEN p.p_score
+                ELSE GREATEST(-1.0, LEAST(1.0, p.p_score * 0.7 + c.c_score * 0.3))
+           END AS raw_score,
+           CASE WHEN c.n IS NULL OR c.n = 0 THEN p.p_conf
+                ELSE (p.p_conf + c.c_conf) / 2 END AS raw_conf
+    FROM pscore p LEFT JOIN cscore c ON p.url = c.url
+)
+SELECT url, ROUND(raw_score, 6) AS score,
+       CASE WHEN raw_score > 0.1 THEN 'positive'
+            WHEN raw_score < -0.1 THEN 'negative' ELSE 'neutral' END AS label,
+       ROUND(raw_conf, 6) AS confidence
+FROM fin ORDER BY url
+""".format(path=_CRAWL01_POSTS,
+           pos=_ko_count_expr(POSITIVE_KO), neg=_ko_count_expr(NEGATIVE_KO),
+           score_case=_SCORE_CASE, conf_case=_CONF_CASE)
+
+
+# ---------------------------------------------------------------------------
 # Alerts (alert_manager.py:286-465 semantics, small driver-side data)
 # ---------------------------------------------------------------------------
 
@@ -376,4 +511,9 @@ QUERIES = {
     "detected_issues": q_detected_issues,
     "hot_posts": q_hot_posts,
     "analysis_summary": q_analysis_summary,
+    "combined_sentiment": q_combined_sentiment,
+}
+
+ORACLE_SQL = {
+    "combined_sentiment": SQL_COMBINED_SENTIMENT,
 }

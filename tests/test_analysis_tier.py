@@ -139,6 +139,71 @@ def test_analyze_posts_pipeline():
 
 
 # ---------------------------------------------------------------------------
+# F3: combined post+comment sentiment (sentiment.py:249-287)
+# ---------------------------------------------------------------------------
+
+def _serial_sentiment(text: str) -> tuple[float, float]:
+    """Reference analyze(): (score, confidence), serial reimplementation."""
+    import re
+
+    from game_review_crawler_ray.functions.lexicon_ko import (
+        NEGATIVE_KO, POSITIVE_KO,
+    )
+
+    t = re.sub(r"\s+", " ", (text or "").lower()).strip()
+    if not t:
+        return 0.0, 0.5
+    pos = sum(t.count(w) for w in POSITIVE_KO)
+    neg = sum(t.count(w) for w in NEGATIVE_KO)
+    total = pos + neg
+    score = 0.0 if total == 0 else max(-1.0, min(1.0, (pos - neg) / total))
+    n_words = len(t.split())
+    conf = 0.5 if n_words == 0 else min(1.0, 0.5 + total / n_words * 0.5)
+    return score, conf
+
+
+def test_combined_sentiment_matches_serial_reference():
+    from game_review_crawler_ray.pipelines.issues import combined_post_sentiment
+
+    base = datetime(2024, 1, 10, 12, 0, 0)
+    rows = []
+    comment_sets = [
+        [],  # no comments -> plain post result
+        ["최고 좋다", "쓰레기 망했다 최악"],
+        ["별로", "별로", "대박"],
+        ["   "],  # whitespace-only comment -> (0.0, 0.5)
+    ]
+    for i, cset in enumerate(comment_sets):
+        rows.append({
+            "url": f"https://h.example.com/p/{i}",
+            "title": "버그 제보 최악" if i % 2 else "이벤트 최고 좋다",
+            "body": "게임 버그 튕김 짜증" if i % 2 else "보상 대박 재밌다",
+            "comments": [{"author": "a", "content": c, "created_at": base,
+                          "like_count": 0} for c in cset],
+        })
+    tbl = pa.Table.from_pylist(rows)
+    got = {r["url"]: r for r in
+           combined_post_sentiment(ray.data.from_arrow(tbl)).take_all()}
+    for row in rows:
+        p_score, p_conf = _serial_sentiment(
+            f"{row['title']} {row['title']} {row['body']}")
+        cres = [_serial_sentiment(c["content"]) for c in row["comments"]]
+        if cres:
+            c_score = sum(s for s, _ in cres) / len(cres)
+            c_conf = sum(c for _, c in cres) / len(cres)
+            score = max(-1.0, min(1.0, 0.7 * p_score + 0.3 * c_score))
+            conf = (p_conf + c_conf) / 2
+        else:
+            score, conf = p_score, p_conf
+        label = ("positive" if score > 0.1
+                 else "negative" if score < -0.1 else "neutral")
+        g = got[row["url"]]
+        assert abs(g["score"] - score) < 1e-6
+        assert abs(g["confidence"] - conf) < 1e-6
+        assert g["label"] == label
+
+
+# ---------------------------------------------------------------------------
 # exports
 # ---------------------------------------------------------------------------
 
