@@ -148,37 +148,22 @@ class _PostScore:
         })
 
 
-def _post_keywords_stage(top_set_ref, n_keep: int = 100):
-    """Per-post top-100 keywords; emits (url, token) membership pairs for
-    tokens in the broadcast top-keyword set, plus per-block partial global
-    counts when top_set_ref is None (first pass)."""
+def _post_keywords_stage(_unused=None, n_keep: int = 100):
+    """Per-block partial counts of per-post top-100 keyword membership
+    (keyword_extractor.py:219-249 Counter-over-lists semantics)."""
 
     def stage(batch: pd.DataFrame) -> pd.DataFrame:
-        top = ray.get(top_set_ref) if top_set_ref is not None else None
-        if top is None:
-            counts: Counter = Counter()
-            for title, body, comments in zip(batch["title"], batch["body"],
-                                             batch["comments"]):
-                clist = comments if comments is not None else []
-                text = combined_post_text(
-                    title or "", body or "",
-                    [c["content"] for c in clist])
-                counts.update(extract_keywords_from_text(text, top_n=n_keep))
-            return pd.DataFrame({"token": list(counts.keys()),
-                                 "n": np.fromiter(counts.values(), np.int64,
-                                                  len(counts))})
-        rows_u, rows_t = [], []
-        for url, title, body, comments in zip(batch["url"], batch["title"],
-                                              batch["body"], batch["comments"]):
+        counts: Counter = Counter()
+        for title, body, comments in zip(batch["title"], batch["body"],
+                                         batch["comments"]):
             clist = comments if comments is not None else []
             text = combined_post_text(
                 title or "", body or "",
                 [c["content"] for c in clist])
-            kws = set(extract_keywords_from_text(text, top_n=n_keep)) & top
-            for k in kws:
-                rows_u.append(url)
-                rows_t.append(k)
-        return pd.DataFrame({"url": rows_u, "token": rows_t})
+            counts.update(extract_keywords_from_text(text, top_n=n_keep))
+        return pd.DataFrame({"token": list(counts.keys()),
+                             "n": np.fromiter(counts.values(), np.int64,
+                                              len(counts))})
 
     return stage
 
@@ -197,59 +182,182 @@ def top_keywords(posts: ray.data.Dataset, top_n: int = 50) -> list[str]:
     return [k for k, _ in ordered[:top_n]]
 
 
+RELATED_POSTS_CAP = 200  # per-issue drill-down list cap (deterministic: smallest urls)
+
+
+def _global_stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-block scalar partials over the scored posts (one row per block)."""
+    s = batch["score"]
+    return pd.DataFrame({
+        "n": [len(batch)],
+        "sum_score": [float(s.sum())],
+        "n_pos": [int((s > 0.1).sum())],
+        "n_neg": [int((s < -0.1).sum())],
+        "sum_views": [int(batch["view_count"].sum())],
+        "sum_comments": [int(batch["n_comments"].sum())],
+        "max_views": [int(batch["view_count"].max())],
+        "max_comments": [int(batch["n_comments"].max())],
+        "max_ts": [batch["created_at"].max()],
+    })
+
+
+class _ClusterPartials:
+    """Per-block per-cluster partial stats (issue_detector.py:170-207,464-474
+    semantics, distributed).
+
+    Distinct (cluster, url) membership is exact across blocks because each
+    url lives in exactly one block. Emits <= n_clusters rows per block:
+    counts/sums/min-ts/urgent-count plus a capped, url-sorted sample of
+    related post urls (driver merge re-caps, so the drill-down list is the
+    deterministic smallest-url prefix).
+    """
+
+    def __init__(self, top_ref, kw_cluster_ref, cutoff, n_keep: int = 100,
+                 cap: int = RELATED_POSTS_CAP):
+        self.top = ray.get(top_ref)
+        self.kw_cluster = ray.get(kw_cluster_ref)
+        self.cutoff = cutoff
+        self.n_keep = n_keep
+        self.cap = cap
+        self.scorer = SentimentScorer(pos=POSITIVE_KO, neg=NEGATIVE_KO)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        title = batch["title"].fillna("")
+        body = batch["body"].fillna("")
+        scores = self.scorer.score_frame(title + " " + title + " " + body)[
+            "score"].to_numpy()
+        acc: dict[str, list] = {}
+        for i, (url, t, b, comments, views, ts) in enumerate(zip(
+                batch["url"], title, body, batch["comments"],
+                batch["view_count"], batch["created_at"])):
+            clist = comments if comments is not None else []
+            text = combined_post_text(t or "", b or "",
+                                      [c["content"] for c in clist])
+            kws = set(extract_keywords_from_text(text, top_n=self.n_keep)) & self.top
+            cids = {self.kw_cluster[k] for k in kws}
+            for cid in cids:
+                a = acc.get(cid)
+                if a is None:
+                    a = acc[cid] = [0, 0, 0, 0.0, None, 0, []]
+                a[0] += 1
+                a[1] += int(views)
+                a[2] += len(clist)
+                a[3] += float(scores[i])
+                if ts is not None and not pd.isna(ts):
+                    a[4] = ts if a[4] is None else min(a[4], ts)
+                    if self.cutoff is not None and ts >= self.cutoff:
+                        a[5] += 1
+                a[6].append(url)
+        rows = []
+        for cid, a in acc.items():
+            rows.append({
+                "cluster_id": cid, "n_posts": a[0], "views": a[1],
+                "comments": a[2], "sum_score": a[3], "min_ts": a[4],
+                "n_urgent": a[5], "urls": sorted(a[6])[: self.cap],
+            })
+        return pd.DataFrame(rows, columns=["cluster_id", "n_posts", "views",
+                                           "comments", "sum_score", "min_ts",
+                                           "n_urgent", "urls"])
+
+
+def _hot_partial_fn(maxes_ref, k: int = 20):
+    """Per-block top-k hot posts (K4); global maxes broadcast. The final
+    top-k is a tiny driver merge of <=k rows per block."""
+
+    def stage(batch: pd.DataFrame) -> pd.DataFrame:
+        max_views, max_comments = ray.get(maxes_ref)
+        hot = (0.4 * np.minimum(batch["view_count"] / max_views, 1.0)
+               + 0.3 * np.minimum(batch["n_comments"] / max_comments, 1.0)
+               + 0.3 * (1.0 - batch["score"]) / 2.0)
+        df = batch.assign(hot_score=round6(np.minimum(hot, 1.0)))
+        df = df.sort_values(["hot_score", "url"], ascending=[False, True])
+        return df.head(k)
+
+    return stage
+
+
 def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
                   urgent_hours: int = 24, urgent_min_posts: int = 10) -> dict:
-    """Full analysis: returns dict of small result tables (pa.Table)."""
-    scored_ds = posts.map_batches(_PostScore, concurrency=2,
-                                  batch_format="pandas")
-    scored = _collect(scored_ds).to_pandas()
-    n_posts = len(scored)
-    if n_posts == 0:
-        return {"issues": pa.table({}), "hot_posts": pa.table({}),
-                "summary": pa.table({})}
+    """Full analysis: returns dict of small result tables (pa.Table).
 
-    # --- sentiment distribution / avg (A1/A2) ---
-    dist = scored.groupby(
-        scored["score"].map(lambda s: "positive" if s > 0.1
-                            else ("negative" if s < -0.1 else "neutral"))
-    ).size()
-    avg_sentiment = float(round6(scored["score"].mean()))
+    Distribution shape (nothing post-sized ever lands on the driver):
 
-    # --- keywords + clusters ---
+    1. scored = posts -> _PostScore map_batches, materialized in the OBJECT
+       STORE (spillable), consumed twice (global partials, hot-post top-k).
+    2. global scalars (counts/sums/maxes/max_ts) via per-block partials +
+       a one-row driver combine.
+    3. top keywords via partial counts (existing combiner pass); greedy
+       clustering of the <=50 keywords on the driver (order-dependent by
+       spec, SURVEY.md §7.3).
+    4. per-cluster stats + capped related-post urls via broadcast
+       keyword->cluster map and per-block partials (<= n_clusters rows per
+       block), merged on the driver.
+    5. hot posts via per-block top-20 partials (global maxes broadcast)
+       merged on the driver.
+    """
+    scored = posts.map_batches(_PostScore, concurrency=(2, 8),
+                               batch_format="pandas").materialize()
+
+    # --- pass 1: global scalars (A1/A2 + maxes + max_ts) ---
+    gparts = [t for t in ray.get(
+        scored.map_batches(_global_stats_partial, batch_format="pandas")
+        .to_arrow_refs()) if t.num_rows]
+    if not gparts:
+        return {"issues": pa.table({}), "bug_issues": pa.table({}),
+                "hot_posts": pa.table({}), "summary": pa.table({})}
+    g = pa.concat_tables(gparts).to_pandas()
+    n_posts = int(g["n"].sum())
+    n_pos, n_neg = int(g["n_pos"].sum()), int(g["n_neg"].sum())
+    avg_sentiment = float(round6(g["sum_score"].sum() / n_posts))
+    total_views = max(int(g["sum_views"].sum()), 1)
+    total_comments = max(int(g["sum_comments"].sum()), 1)
+    max_views = max(int(g["max_views"].max()), 1)
+    max_comments = max(int(g["max_comments"].max()), 1)
+    max_ts = g["max_ts"].max()
+
+    # --- keywords + clusters (driver-side over <=50 rows by design) ---
     kws = top_keywords(posts, top_n_keywords)
     clusters = cluster_keywords(kws)
-    top_ref = ray.put(set(kws))
-    pairs = _collect(posts.map_batches(_post_keywords_stage(top_ref),
-                                       batch_format="pandas")).to_pandas()
-
     kw_cluster = {}
     for c in clusters:
         for k in c["keywords"]:
             kw_cluster[k] = c["cluster_id"]
-    pairs["cluster_id"] = pairs["token"].map(kw_cluster)
-    cluster_posts = pairs.drop_duplicates(["cluster_id", "url"])[["cluster_id", "url"]]
-    cp = cluster_posts.merge(scored, on="url", how="left")
+    urgent_cut = max_ts - timedelta(hours=urgent_hours) if pd.notna(max_ts) else None
 
-    total_views = max(int(scored["view_count"].sum()), 1)
-    total_comments = max(int(scored["n_comments"].sum()), 1)
+    # --- pass 2: per-cluster partials ---
+    cparts_ds = posts.map_batches(
+        _ClusterPartials, concurrency=(2, 8), batch_format="pandas",
+        fn_constructor_kwargs={"top_ref": ray.put(set(kws)),
+                               "kw_cluster_ref": ray.put(kw_cluster),
+                               "cutoff": urgent_cut})
+    cstats: dict[str, list] = {}
+    for t in ray.get(cparts_ds.to_arrow_refs()):
+        if not t.num_rows:
+            continue
+        for r in t.to_pylist():
+            a = cstats.get(r["cluster_id"])
+            if a is None:
+                a = cstats[r["cluster_id"]] = [0, 0, 0, 0.0, None, 0, []]
+            a[0] += r["n_posts"]
+            a[1] += r["views"]
+            a[2] += r["comments"]
+            a[3] += r["sum_score"]
+            if r["min_ts"] is not None:
+                a[4] = r["min_ts"] if a[4] is None else min(a[4], r["min_ts"])
+            a[5] += r["n_urgent"]
+            a[6] = sorted(a[6] + r["urls"])[:RELATED_POSTS_CAP]
 
     issues = []
-    max_ts = scored["created_at"].max()
-    urgent_cut = max_ts - timedelta(hours=urgent_hours) if pd.notna(max_ts) else None
     for c in clusters:
-        sub = cp[cp["cluster_id"] == c["cluster_id"]]
-        post_count = len(sub)
-        views = int(sub["view_count"].sum())
-        comments = int(sub["n_comments"].sum())
-        senti_avg = float(round6(sub["score"].mean())) if post_count else 0.0
+        st = cstats.get(c["cluster_id"], [0, 0, 0, 0.0, None, 0, []])
+        post_count, views, comments = st[0], st[1], st[2]
+        senti_avg = float(round6(st[3] / post_count)) if post_count else 0.0
         priority = (0.3 * views / total_views + 0.3 * comments / total_comments
                     + 0.4 * post_count / max(n_posts, 1))
         is_bug = cluster_is_bug(c["keywords"])
         severity = (severity_from_metrics(post_count, senti_avg, n_posts)
                     if is_bug else "low")
-        first_seen = sub["created_at"].min() if post_count else None
-        n_urgent = int((sub["created_at"] >= urgent_cut).sum()) \
-            if urgent_cut is not None and post_count else 0
+        first_seen = st[4]
         issues.append({
             "issue_id": c["cluster_id"],
             "title": c["representative"],
@@ -261,8 +369,9 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
             "is_bug": is_bug,
             "severity": severity,
             "sentiment_avg": senti_avg,
-            "first_seen": first_seen if pd.notna(first_seen) else None,
-            "is_urgent": n_urgent >= urgent_min_posts,
+            "first_seen": first_seen if first_seen is not None and pd.notna(first_seen) else None,
+            "is_urgent": st[5] >= urgent_min_posts,
+            "related_posts": st[6],
         })
 
     # K2 priority sort + K3 hot issues (top 10%, >=1)
@@ -276,15 +385,14 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
         (i for i in issues if i["is_bug"]),
         key=lambda x: (SEVERITY_ORDER.get(x["severity"], 4), -x["priority_score"]))
 
-    # K4 hot posts
-    max_views = max(int(scored["view_count"].max()), 1)
-    max_comments = max(int(scored["n_comments"].max()), 1)
-    hot_score = (0.4 * np.minimum(scored["view_count"] / max_views, 1.0)
-                 + 0.3 * np.minimum(scored["n_comments"] / max_comments, 1.0)
-                 + 0.3 * (1.0 - scored["score"]) / 2.0)
-    hp = scored.assign(hot_score=round6(np.minimum(hot_score, 1.0)))
-    hp = hp.sort_values(["hot_score", "url"], ascending=[False, True])
+    # --- pass 3: hot posts (K4) via per-block top-k partials ---
     k = min(max(1, int(n_posts * 0.1)), 20, n_posts)
+    maxes_ref = ray.put((max_views, max_comments))
+    hparts = [t.to_pandas() for t in ray.get(
+        scored.map_batches(_hot_partial_fn(maxes_ref), batch_format="pandas")
+        .to_arrow_refs()) if t.num_rows]
+    hp = pd.concat(hparts).sort_values(["hot_score", "url"],
+                                       ascending=[False, True])
     hot_posts = hp.head(k)[["url", "title", "site", "author", "created_at",
                             "view_count", "n_comments", "like_count",
                             "hot_score", "score", "is_bug"]]
@@ -292,21 +400,27 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
     summary = pa.table({
         "n_posts": pa.array([n_posts], pa.int64()),
         "avg_sentiment": pa.array([avg_sentiment], pa.float64()),
-        "n_positive": pa.array([int(dist.get("positive", 0))], pa.int64()),
-        "n_negative": pa.array([int(dist.get("negative", 0))], pa.int64()),
-        "n_neutral": pa.array([int(dist.get("neutral", 0))], pa.int64()),
+        "n_positive": pa.array([n_pos], pa.int64()),
+        "n_negative": pa.array([n_neg], pa.int64()),
+        "n_neutral": pa.array([n_posts - n_pos - n_neg], pa.int64()),
         "n_issues": pa.array([len(issues)], pa.int64()),
         "n_bug_issues": pa.array([len(bug_issues)], pa.int64()),
         "n_hot_issues": pa.array([hot_count], pa.int64()),
     })
 
     issues_tbl = pa.Table.from_pylist([
-        {k: (v if k != "keywords" else list(v)) for k, v in i.items()}
+        {k: (list(v) if k in ("keywords", "related_posts") else v)
+         for k, v in i.items()}
         for i in issues
     ]) if issues else pa.table({})
+    bug_tbl = pa.Table.from_pylist([
+        {k: (list(v) if k in ("keywords", "related_posts") else v)
+         for k, v in i.items()}
+        for i in bug_issues
+    ]) if bug_issues else pa.table({})
     return {
         "issues": issues_tbl,
-        "bug_issues": pa.Table.from_pylist(bug_issues) if bug_issues else pa.table({}),
+        "bug_issues": bug_tbl,
         "hot_posts": pa.Table.from_pandas(hot_posts.reset_index(drop=True),
                                           preserve_index=False),
         "summary": summary,

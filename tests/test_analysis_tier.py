@@ -138,6 +138,66 @@ def test_analyze_posts_pipeline():
         assert [order[p] for p in pr] == sorted(order[p] for p in pr)
 
 
+def test_analyze_posts_matches_serial_reference():
+    """Distributed partial-aggregate analysis == a naive serial computation
+    of the same reference formulas (issue_detector.py:170-257,464-516)."""
+    from game_review_crawler_ray.functions.lexicon_ko import (
+        NEGATIVE_KO, POSITIVE_KO,
+    )
+    from game_review_crawler_ray.functions.textproc import (
+        combined_post_text, extract_keywords_from_text,
+    )
+    from game_review_crawler_ray.pipelines.analytics import (
+        SentimentScorer, round6,
+    )
+    from game_review_crawler_ray.pipelines.issues import top_keywords
+
+    tbl = _posts_table()
+    rows = tbl.to_pylist()
+    res = analyze_posts(ray.data.from_arrow(tbl))
+
+    scorer = SentimentScorer(pos=POSITIVE_KO, neg=NEGATIVE_KO)
+    import pandas as pd
+    scores = {
+        r["url"]: float(scorer.score_frame(
+            pd.Series([f"{r['title']} {r['title']} {r['body']}"]))["score"][0])
+        for r in rows
+    }
+    kws = top_keywords(ray.data.from_arrow(tbl), 50)
+    clusters = cluster_keywords(kws)
+    serial = {}
+    for c in clusters:
+        members = []
+        for r in rows:
+            text = combined_post_text(r["title"], r["body"],
+                                      [cm["content"] for cm in r["comments"]])
+            top100 = set(extract_keywords_from_text(text, top_n=100))
+            if top100 & set(c["keywords"]):
+                members.append(r)
+        serial[c["cluster_id"]] = {
+            "post_count": len(members),
+            "total_views": sum(m["view_count"] for m in members),
+            "total_comments": sum(len(m["comments"]) for m in members),
+            "sentiment_avg": float(round6(
+                sum(scores[m["url"]] for m in members) / len(members)))
+            if members else 0.0,
+            "related_posts": sorted(m["url"] for m in members),
+            "first_seen": min((m["created_at"] for m in members
+                               if m["created_at"] is not None), default=None),
+        }
+    got = {i["issue_id"]: i for i in res["issues"].to_pylist()}
+    assert set(got) == set(serial)
+    for cid, exp in serial.items():
+        g = got[cid]
+        for f in ("post_count", "total_views", "total_comments",
+                  "sentiment_avg", "related_posts"):
+            assert g[f] == exp[f], (cid, f, g[f], exp[f])
+        g_fs = g["first_seen"]
+        assert (g_fs is None) == (exp["first_seen"] is None)
+        if g_fs is not None:
+            assert pd.Timestamp(g_fs) == pd.Timestamp(exp["first_seen"])
+
+
 # ---------------------------------------------------------------------------
 # F3: combined post+comment sentiment (sentiment.py:249-287)
 # ---------------------------------------------------------------------------
