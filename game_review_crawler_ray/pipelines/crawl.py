@@ -275,16 +275,19 @@ def load_seeds(seeds, parallelism: int | None = None) -> ray.data.Dataset:
 
 
 def load_fetch_log(out_dir: str) -> pa.Table:
-    """Concatenate the per-shard lineage files; corrective rows (late status
-    updates for already-flushed grants) are resolved last-wins per url_norm
-    within each shard's file order."""
+    """Concatenate the per-shard lineage files; duplicate rows per url_norm
+    (task retries, corrective late-status rows) are resolved by an explicit
+    monotonic key — max (grant_seq, fetch_ts) wins — so the result does not
+    depend on file enumeration order."""
     files = sorted(glob.glob(os.path.join(out_dir, "fetch_log", "*.parquet")))
     if not files:
         from ..state.frontier import FETCH_LOG_SCHEMA
         return FETCH_LOG_SCHEMA.empty_table()
     tbl = pa.concat_tables([pq.read_table(f) for f in files])
     df = tbl.to_pandas()
-    df = df.drop_duplicates(subset=["url_norm"], keep="last").reset_index(drop=True)
+    df = (df.sort_values(["grant_seq", "fetch_ts"], kind="stable")
+          .drop_duplicates(subset=["url_norm"], keep="last")
+          .reset_index(drop=True))
     return pa.Table.from_pandas(df, preserve_index=False,
                                 schema=tbl.schema)
 

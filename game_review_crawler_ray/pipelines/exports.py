@@ -29,22 +29,20 @@ COMMENT_TRUNC = 500
 
 def explode_comments(batch: pa.Table) -> pa.Table:
     """posts -> child comment rows (post_url, author, content, created_at,
-    like_count) — exporters.py:167-189 layout."""
-    urls, authors, contents, dates, likes = [], [], [], [], []
-    for url, comments in zip(batch.column("url").to_pylist(),
-                             batch.column("comments").to_pylist()):
-        for c in comments or []:
-            urls.append(url)
-            authors.append(c["author"])
-            contents.append(c["content"])
-            dates.append(c["created_at"])
-            likes.append(c["like_count"])
+    like_count) — exporters.py:167-189 layout. Fully vectorized: Arrow
+    ``list_parent_indices`` + ``list_flatten`` + struct field extraction,
+    no per-row Python."""
+    comments = batch.column("comments")
+    if isinstance(comments, pa.ChunkedArray):
+        comments = comments.combine_chunks()
+    parent = pc.list_parent_indices(comments)
+    flat = pc.list_flatten(comments)
     return pa.table({
-        "post_url": pa.array(urls, pa.string()),
-        "author": pa.array(authors, pa.string()),
-        "content": pa.array(contents, pa.string()),
-        "created_at": pa.array(dates, pa.timestamp("us")),
-        "like_count": pa.array(likes, pa.int64()),
+        "post_url": pc.take(batch.column("url"), parent),
+        "author": flat.field("author"),
+        "content": flat.field("content"),
+        "created_at": flat.field("created_at"),
+        "like_count": flat.field("like_count"),
     })
 
 
@@ -101,15 +99,56 @@ def write_posts_partitioned(posts: ray.data.Dataset, out_dir: str) -> str:
     return path
 
 
+ISSUES_CSV_FIELDS = [
+    "issue_id", "title", "keywords", "priority_score", "is_hot", "is_bug",
+    "severity", "post_count", "total_views", "total_comments",
+    "sentiment_avg", "first_seen", "game_id",
+]
+
+
+def issues_csv_table(issues: pa.Table, game_id: str) -> pa.Table:
+    """DetectedIssue table -> the reference's issues.csv layout
+    (quicksight_exporter.py:326-372): keywords pipe-joined, scores rounded
+    to 4dp, booleans as 'true'/'false', ISO dates, trailing game_id."""
+    rows = []
+    for i in issues.to_pylist():
+        rows.append({
+            "issue_id": i["issue_id"],
+            "title": i["title"],
+            "keywords": "|".join(i.get("keywords") or []),
+            "priority_score": round(i["priority_score"], 4),
+            "is_hot": "true" if i.get("is_hot") else "false",
+            "is_bug": "true" if i.get("is_bug") else "false",
+            "severity": i["severity"],
+            "post_count": i["post_count"],
+            "total_views": i["total_views"],
+            "total_comments": i["total_comments"],
+            "sentiment_avg": round(i["sentiment_avg"], 4),
+            "first_seen": i["first_seen"].isoformat() if i.get("first_seen") else "",
+            "game_id": game_id,
+        })
+    if not rows:
+        return pa.table({f: pa.array([], pa.string()) for f in ISSUES_CSV_FIELDS})
+    t = pa.Table.from_pylist(rows)
+    return t.select(ISSUES_CSV_FIELDS)
+
+
 def write_quicksight(posts: ray.data.Dataset, sentiment: ray.data.Dataset | None,
-                     out_dir: str, game_id: str = "default") -> dict[str, str]:
+                     out_dir: str, game_id: str = "default",
+                     issues: pa.Table | None = None,
+                     profiles=None) -> dict[str, str]:
     """S9: four projected CSV exports under quicksight_data/{game_id}/.
 
     posts.csv (body truncated to 1000 chars), comments.csv (content
-    truncated to 500), sentiment.csv, issues.csv (written by the issues
-    pipeline when available).
+    truncated to 500), sentiment.csv, issues.csv (reference layout; an
+    empty header-only table when no issues were detected —
+    quicksight_exporter.py:105-113). A ``GameProfileManager`` may be
+    passed to resolve per-game export paths (game_profile.py:134-148).
     """
-    base = os.path.join(out_dir, "quicksight_data", game_id)
+    if profiles is not None:
+        base = os.path.join(out_dir, profiles.get_quicksight_path(game_id))
+    else:
+        base = os.path.join(out_dir, "quicksight_data", game_id)
     os.makedirs(base, exist_ok=True)
     out = {}
 
@@ -134,6 +173,14 @@ def write_quicksight(posts: ray.data.Dataset, sentiment: ray.data.Dataset | None
         s = os.path.join(base, "sentiment")
         sentiment.write_csv(s)
         out["sentiment"] = s
+
+    issues_tbl = issues_csv_table(
+        issues if issues is not None else pa.table({}), game_id)
+    ipath = os.path.join(base, "issues.csv")
+    import pyarrow.csv as pacsv
+
+    pacsv.write_csv(issues_tbl, ipath)
+    out["issues"] = ipath
     return out
 
 

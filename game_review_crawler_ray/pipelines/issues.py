@@ -587,6 +587,21 @@ def generate_alerts(analysis: dict) -> list[dict]:
     return alerts
 
 
+def alerts_summary(alerts: list[dict]) -> dict:
+    """A12: counts by type/priority + top alert (alert_manager.py:467-508)."""
+    if not alerts:
+        return {"total_alerts": 0, "urgent_count": 0, "hot_issue_count": 0,
+                "bug_count": 0, "critical_count": 0, "top_alert": None}
+    return {
+        "total_alerts": len(alerts),
+        "urgent_count": sum(1 for a in alerts if a["alert_type"] == "urgent_issue"),
+        "hot_issue_count": sum(1 for a in alerts if a["alert_type"] == "hot_issue"),
+        "bug_count": sum(1 for a in alerts if a["alert_type"] == "bug"),
+        "critical_count": sum(1 for a in alerts if a["priority"] == "critical"),
+        "top_alert": dict(alerts[0]),
+    }
+
+
 # ---------------------------------------------------------------------------
 # Queries (rows-only: crawl-derived)
 # ---------------------------------------------------------------------------
@@ -621,11 +636,20 @@ def q_analysis_summary(sf_dir: str) -> pa.Table:
     return _analysis_for(sf_dir)["summary"]
 
 
+def q_alerts_summary(sf_dir: str) -> pa.Table:
+    s = alerts_summary(generate_alerts(_analysis_for(sf_dir)))
+    top = s.pop("top_alert")
+    s["top_alert_type"] = top["alert_type"] if top else None
+    s["top_alert_title"] = top["title"] if top else None
+    return pa.Table.from_pylist([s])
+
+
 QUERIES = {
     "detected_issues": q_detected_issues,
     "hot_posts": q_hot_posts,
     "analysis_summary": q_analysis_summary,
     "combined_sentiment": q_combined_sentiment,
+    "alerts_summary": q_alerts_summary,
 }
 
 ORACLE_SQL = {

@@ -544,26 +544,9 @@ def q_comments_exploded(sf_dir: str) -> pa.Table:
     out = _crawl_out(sf_dir)
     ds = ray.data.read_parquet(os.path.join(out, "posts"),
                                columns=["url", "comments"])
+    from .exports import explode_comments
 
-    def explode(batch: pa.Table) -> pa.Table:
-        urls, authors, contents, dates, likes = [], [], [], [], []
-        comments_col = batch.column("comments").to_pylist()
-        for url, comments in zip(batch.column("url").to_pylist(), comments_col):
-            for c in comments or []:
-                urls.append(url)
-                authors.append(c["author"])
-                contents.append(c["content"])
-                dates.append(c["created_at"])
-                likes.append(c["like_count"])
-        return pa.table({
-            "post_url": pa.array(urls, pa.string()),
-            "author": pa.array(authors, pa.string()),
-            "content": pa.array(contents, pa.string()),
-            "created_at": pa.array(dates, pa.timestamp("us")),
-            "like_count": pa.array(likes, pa.int64()),
-        })
-
-    out_ds = ds.map_batches(explode, batch_format="pyarrow")
+    out_ds = ds.map_batches(explode_comments, batch_format="pyarrow")
     return _collect(out_ds).sort_by([("post_url", "ascending"),
                                      ("content", "ascending")])
 
@@ -619,8 +602,43 @@ QUERIES = {
     "politeness_summary": q_politeness_summary,
 }
 
+# Correctness gate runs at sf0.01; its cached crawl output lives at this
+# deterministic path (_crawl_out: n=10000, h=50). The Ray query runs first
+# (materializing the cache); the oracle then recomputes from raw parquet.
+_CRAWL01 = "/tmp/grc_crawl/run_n10000_h50"
+
+SQL_COMMENTS_EXPLODED = f"""
+SELECT url AS post_url, c.author AS author, c.content AS content,
+       c.created_at AS created_at, c.like_count AS like_count
+FROM (SELECT url, unnest(comments) AS c
+      FROM read_parquet('{_CRAWL01}/posts/*.parquet'))
+ORDER BY post_url, content
+"""
+
+SQL_POLITENESS_SUMMARY = f"""
+WITH log AS (
+    SELECT * FROM read_parquet('{_CRAWL01}/fetch_log/*.parquet')
+), d AS (
+    SELECT * FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY url_norm ORDER BY grant_seq DESC, fetch_ts DESC) AS rn
+        FROM log)
+    WHERE rn = 1
+), g AS (
+    SELECT host, fetch_ts FROM d WHERE grant_seq >= 0
+), gaps AS (
+    SELECT host, epoch(fetch_ts)
+           - lag(epoch(fetch_ts)) OVER (PARTITION BY host ORDER BY fetch_ts) AS gap
+    FROM g
+)
+SELECT host, count(*) AS n_granted, ROUND(min(gap), 6) AS min_gap_s
+FROM gaps GROUP BY host ORDER BY host
+"""
+
 ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "comments_exploded": SQL_COMMENTS_EXPLODED,
+    "politeness_summary": SQL_POLITENESS_SUMMARY,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_topk": SQL_ANN_TOPK,
     "langid": SQL_LANGID,

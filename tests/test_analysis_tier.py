@@ -294,12 +294,72 @@ def test_exports(tmp_path):
     posts_csv = pd.concat([pd.read_csv(f) for f in glob.glob(qs["posts"] + "/*")])
     assert posts_csv["body"].str.len().max() <= 1000  # truncation (S9)
     assert (posts_csv["comment_count"] >= 0).all()
+    # empty issues -> header-only issues.csv (quicksight_exporter.py:105-113)
+    from game_review_crawler_ray.pipelines.exports import ISSUES_CSV_FIELDS
+    empty = pd.read_csv(qs["issues"])
+    assert list(empty.columns) == ISSUES_CSV_FIELDS and len(empty) == 0
 
     # registry plugin surface
     register_exporter("noop", lambda ds, o: "noop")
     assert get_exporter("noop")(posts, "") == "noop"
     with pytest.raises(ValueError):
         get_exporter("nope")
+
+
+def test_quicksight_issues_csv_and_profiles(tmp_path):
+    """Fourth QuickSight file with the reference field layout, per-game
+    paths via GameProfileManager, analysis store latest-lookup, alert
+    summary counts."""
+    from game_review_crawler_ray.pipelines.exports import (
+        ISSUES_CSV_FIELDS, write_quicksight,
+    )
+    from game_review_crawler_ray.pipelines.issues import (
+        alerts_summary, generate_alerts,
+    )
+    from game_review_crawler_ray.pipelines.store import AnalysisStore
+    from game_review_crawler_ray.state.profiles import (
+        GameProfile, GameProfileManager,
+    )
+    import pandas as pd
+
+    posts = ray.data.from_arrow(_posts_table())
+    res = analyze_posts(posts)
+
+    mgr = GameProfileManager()
+    mgr.register_game(GameProfile(game_id="g2", game_name="Game Two",
+                                  keywords=["버그"], target_sites=["inven"]))
+    assert mgr.get_quicksight_path("g2") == "quicksight_data/g2"
+    assert mgr.get_data_path("unregistered") == "data/unregistered"
+    assert [p.game_id for p in mgr.list_games()] == ["g2"]
+
+    qs = write_quicksight(posts, None, str(tmp_path), game_id="g2",
+                          issues=res["issues"], profiles=mgr)
+    issues_csv = pd.read_csv(qs["issues"], dtype={"is_bug": str, "is_hot": str})
+    assert list(issues_csv.columns) == ISSUES_CSV_FIELDS
+    assert len(issues_csv) == res["issues"].num_rows
+    assert (issues_csv["game_id"] == "g2").all()
+    assert issues_csv["is_bug"].isin(["true", "false"]).all()
+    assert "quicksight_data/g2" in qs["issues"]
+
+    # analysis store: timestamped snapshots + latest-lookup
+    store = AnalysisStore(str(tmp_path / "data"))
+    p1 = store.save_analysis("g2", res, datetime(2024, 1, 1, 10, 0, 0))
+    p2 = store.save_analysis("g2", res, datetime(2024, 1, 2, 10, 0, 0))
+    assert store.list_analyses("g2") == [p1, p2]
+    latest = store.get_latest_analysis("g2")
+    assert latest["analyzed_at"] == "2024-01-02T10:00:00"
+    assert latest["summary"][0]["n_posts"] == 30
+    assert store.get_latest_analysis("nope") is None
+
+    # alert summary (alert_manager.py:467-508)
+    alerts = generate_alerts(res)
+    s = alerts_summary(alerts)
+    assert s["total_alerts"] == len(alerts)
+    assert (s["urgent_count"] + s["hot_issue_count"] + s["bug_count"]
+            == len(alerts))
+    if alerts:
+        assert s["top_alert"] == alerts[0]
+    assert alerts_summary([])["total_alerts"] == 0
 
 
 # ---------------------------------------------------------------------------
