@@ -42,20 +42,26 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from game_review_crawler_ray.pipelines import analytics, issues, textops
+    from game_review_crawler_ray.pipelines import (
+        analytics, filters, issues, textops,
+    )
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(analytics.QUERIES)
     out.update(textops.QUERIES)
     out.update(issues.QUERIES)
+    out.update(filters.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from game_review_crawler_ray.pipelines import analytics, issues, textops
+    from game_review_crawler_ray.pipelines import (
+        analytics, filters, issues, textops,
+    )
 
     out: dict[str, str] = {}
     out.update(analytics.ORACLE_SQL)
     out.update(textops.ORACLE_SQL)
     out.update(issues.ORACLE_SQL)
+    out.update(filters.ORACLE_SQL)
     return out

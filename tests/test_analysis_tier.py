@@ -363,6 +363,64 @@ def test_quicksight_issues_csv_and_profiles(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# DataFilter family (data_filter.py:15-229)
+# ---------------------------------------------------------------------------
+
+def test_datafilter_family_matches_serial():
+    from game_review_crawler_ray.pipelines.filters import (
+        FilterCriteria, IssueTypeFilter, SentimentFilter, SortField,
+        SortOrder, apply_criteria, filter_by_issue_type,
+        filter_by_sentiment, sort_posts,
+    )
+
+    tbl = _posts_table()
+    rows = tbl.to_pylist()
+    ds = ray.data.from_arrow(tbl)
+
+    crit = FilterCriteria(
+        start_date=datetime(2024, 1, 10, 5, 0, 0),
+        end_date=datetime(2024, 1, 10, 20, 0, 0),
+        sites=["h1.example.com", "h2.example.com"],
+        min_view_count=500, min_comment_count=1,
+    )
+    got = sorted(r["url"] for r in apply_criteria(ds, crit).take_all())
+    exp = sorted(
+        r["url"] for r in rows
+        if crit.start_date <= r["created_at"] <= crit.end_date
+        and r["site"] in crit.sites
+        and r["view_count"] >= 500 and len(r["comments"]) >= 1)
+    assert got == exp and got
+
+    # game filter: '버그' hits bug posts via title
+    from game_review_crawler_ray.pipelines.filters import filter_by_game
+    got = sorted(r["url"] for r in filter_by_game(ds, ["버그"]).take_all())
+    exp = sorted(r["url"] for r in rows
+                 if "버그" in r["title"] or "버그" in r["body"])
+    assert got == exp
+
+    # sort by comment count desc with url tie-break
+    out = sort_posts(ds, SortField.COMMENT_COUNT, SortOrder.DESC).take_all()
+    keys = [(-r["comment_count"], r["url"]) for r in out]
+    assert keys == sorted(keys)
+
+    # sentiment/issue-type filters over a scored table
+    scored = pa.table({
+        "url": pa.array(["a", "b", "c", "d"]),
+        "score": pa.array([0.5, -0.5, 0.0, -0.2]),
+        "label": pa.array(["positive", "negative", "neutral", "negative"]),
+        "is_bug": pa.array([True, False, True, False]),
+        "is_hot": pa.array([False, True, False, False]),
+    })
+    sds = ray.data.from_arrow(scored)
+    neg = filter_by_sentiment(sds, SentimentFilter.NEGATIVE, min_score=-0.3)
+    assert sorted(r["url"] for r in neg.take_all()) == ["d"]
+    bug = filter_by_issue_type(sds, IssueTypeFilter.BUG)
+    assert sorted(r["url"] for r in bug.take_all()) == ["a", "c"]
+    norm = filter_by_issue_type(sds, IssueTypeFilter.NORMAL)
+    assert sorted(r["url"] for r in norm.take_all()) == ["d"]
+
+
+# ---------------------------------------------------------------------------
 # search tier
 # ---------------------------------------------------------------------------
 
