@@ -127,9 +127,10 @@ def q_dedup_minhash(sf_dir: str) -> pa.Table:
 
 def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
     """LSH candidates verified with true char-3-gram Jaccard (the classic
-    candidate->verify pattern). Texts of candidate docs are looked up via a
-    broadcast map (candidate set is small); at corpus scale this becomes a
-    hash join on doc_id."""
+    candidate->verify pattern). Candidate texts are gathered with a
+    DISTRIBUTED semi-join (broadcast candidate-id set, per-batch
+    ``is_in`` filter) so the driver only ever receives rows bounded by the
+    candidate count — the output size."""
     cands = minhash_candidate_pairs(_docs(sf_dir, columns=["doc_id", "text"]),
                                     est_threshold=0.5)
     if cands.num_rows == 0:
@@ -137,11 +138,14 @@ def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
                          "doc_b": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
     need = set(cands.column("doc_a").to_pylist()) | set(cands.column("doc_b").to_pylist())
-    import pyarrow.parquet as pq
+    need_ref = ray.put(pa.array(sorted(need), pa.int64()))
 
-    docs = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    mask = pc.is_in(docs.column("doc_id"), value_set=pa.array(list(need), pa.int64()))
-    sel = docs.filter(mask)
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch.column("doc_id"),
+                                     value_set=ray.get(need_ref)))
+
+    sel = _collect(_docs(sf_dir, columns=["doc_id", "text"])
+                   .map_batches(pick, batch_format="pyarrow"))
     text_of = dict(zip(sel.column("doc_id").to_pylist(), sel.column("text").to_pylist()))
     rows = []
     for a, b in zip(cands.column("doc_a").to_pylist(), cands.column("doc_b").to_pylist()):
@@ -214,7 +218,7 @@ def q_dedup_simhash(sf_dir: str) -> pa.Table:
 
 
 # ---------------------------------------------------------------------------
-# Embedding similarity: near-dup pairs + ANN top-k (both SQL-checkable)
+# Embedding similarity: near-dup pairs + ANN top-k
 # ---------------------------------------------------------------------------
 
 def _embeddings(sf_dir: str) -> ray.data.Dataset:
@@ -222,44 +226,143 @@ def _embeddings(sf_dir: str) -> ray.data.Dataset:
                                  columns=["vec_id", "embedding"])
 
 
-def q_embedding_neardup(sf_dir: str) -> pa.Table:
-    """Cosine >= 0.9 pairs (i<j), brute force: broadcast the (normalized)
-    matrix once, matmul per batch — the baseline; an IVF/LSH-bucketed
-    variant is the scale path (see ann_topk's bucketing note)."""
-    import pyarrow.parquet as pq
+def _mat_from_batch(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) from an Arrow batch, zero-copy on the values
+    buffer (list<float> flatten -> numpy view -> reshape)."""
+    ids = batch.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    col = batch.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    d = len(col[0]) if len(col) else 0
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return ids, flat.reshape(len(col), d).astype(np.float64)
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids = np.asarray(full.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.asarray(full.column("embedding").to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    matn = mat / np.where(norms == 0, 1, norms)[:, None]
-    mat_ref = ray.put((ids, matn))
 
-    def batch_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_mat = ray.get(mat_ref)
-        b_ids = batch["vec_id"].to_numpy()
-        b_mat = np.asarray(list(batch["embedding"]), dtype=np.float64)
-        bn = np.linalg.norm(b_mat, axis=1)
-        b_matn = b_mat / np.where(bn == 0, 1, bn)[:, None]
-        sims = b_matn @ all_mat.T
-        rows_a, rows_b, rows_s = [], [], []
-        for i in range(len(b_ids)):
-            mask = (sims[i] >= 0.9) & (all_ids > b_ids[i])
-            for j in np.nonzero(mask)[0]:
-                rows_a.append(int(b_ids[i]))
-                rows_b.append(int(all_ids[j]))
-                rows_s.append(sims[i, j])
-        return pd.DataFrame({"vec_a": rows_a, "vec_b": rows_b,
-                             "sim": round6(rows_s) if rows_s else
-                             pd.Series([], dtype=np.float64)})
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1)
+    return mat / np.where(n == 0, 1, n)[:, None]
 
-    out = _embeddings(sf_dir).map_batches(batch_pairs, batch_format="pandas")
-    tbl = _collect(out)
+
+LSH_BITS = 256          # random-hyperplane signature length
+LSH_BAND_BITS = 8       # 8-bit bands -> 32 bands; P(miss | cos>=0.9) ~ 2e-5,
+                        # ~3e-11 for planted dups at cos ~0.97
+LSH_SEED = 7
+
+
+class _LshBandStage:
+    """vec -> one row per signature band (vec_id, band_key, embedding bytes).
+
+    The hyperplane matrix is regenerated per actor from a fixed seed (cheap,
+    deterministic — no broadcast object needed). Carrying the raw float32
+    embedding bytes through the shuffle keeps in-bucket verification exact
+    (same values the brute-force baseline reads)."""
+
+    def __init__(self):
+        self.h: np.ndarray | None = None
+
+    def _planes(self, d: int) -> np.ndarray:
+        if self.h is None:
+            self.h = np.random.default_rng(LSH_SEED).standard_normal((d, LSH_BITS))
+        return self.h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, mat = _mat_from_batch(batch)
+        if not len(ids):
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "band_key": pa.array([], pa.int64()),
+                             "emb": pa.array([], pa.binary())})
+        bits = (_normalize(mat) @ self._planes(mat.shape[1])) >= 0  # (n, LSH_BITS)
+        n_bands = LSH_BITS // LSH_BAND_BITS
+        # per-band byte: pack each 8-bit slice; band_key = band_idx<<8 | byte
+        weights = (1 << np.arange(LSH_BAND_BITS, dtype=np.int64))
+        bytes_per_band = bits.reshape(len(ids), n_bands, LSH_BAND_BITS) @ weights
+        band_keys = (np.arange(n_bands, dtype=np.int64)[None, :] << 8) | bytes_per_band
+        emb32 = mat.astype(np.float32)
+        out_ids = np.repeat(ids, n_bands)
+        out_keys = band_keys.reshape(-1)
+        emb_bytes = [emb32[i].tobytes() for i in range(len(ids))]
+        out_emb = [b for b in emb_bytes for _ in range(n_bands)]
+        return pa.table({"vec_id": pa.array(out_ids, pa.int64()),
+                         "band_key": pa.array(out_keys, pa.int64()),
+                         "emb": pa.array(out_emb, pa.binary())})
+
+
+def _emb_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
+    ids = group.column("vec_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(ids)
+    ids = ids[order]
+    embs = group.column("emb").to_pylist()
+    if len(ids) > MAX_BUCKET:
+        print(f"[embedding_neardup] hot bucket truncated: {len(ids)} -> {MAX_BUCKET}")
+        ids = ids[:MAX_BUCKET]
+    mat = np.stack([np.frombuffer(embs[i], dtype=np.float32)
+                    for i in order[: len(ids)]]).astype(np.float64)
+    matn = _normalize(mat)
+    sims = matn @ matn.T
+    iu, ju = np.nonzero(np.triu(sims >= threshold, k=1) & (ids[None, :] != ids[:, None]))
+    return pa.table({"doc_pair_a": pa.array(ids[iu], pa.int64()),
+                     "doc_pair_b": pa.array(ids[ju], pa.int64()),
+                     "sim": pa.array(sims[iu, ju], pa.float64())})
+
+
+def embedding_neardup_pairs(ds: ray.data.Dataset,
+                            threshold: float = 0.9) -> pa.Table:
+    """LSH-bucketed near-dup pairs: hyperplane signature bands in
+    map_batches, candidates from ``groupby(band_key)`` (the only shuffle),
+    exact float64 cosine inside each bucket, cross-band dedupe.
+
+    Same pipeline shape as the MinHash dedup. P(missing a cos>=0.9 pair)
+    ~ 2e-5 with 32x8-bit bands (~1e-11 at planted-dup similarity); the
+    brute-force baseline below it is the exactness oracle in tests."""
+    bands = ds.map_batches(_LshBandStage, concurrency=(2, 8),
+                           batch_format="pyarrow")
+    pairs = bands.groupby("band_key").map_groups(
+        lambda g: _emb_bucket_pairs(g, threshold), batch_format="pyarrow")
+    tbl = _collect(pairs)
+    if tbl.num_rows == 0:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    df = tbl.to_pandas().drop_duplicates(subset=["doc_pair_a", "doc_pair_b"])
+    df = df.sort_values(["doc_pair_a", "doc_pair_b"]).reset_index(drop=True)
+    return pa.table({"vec_a": pa.array(df["doc_pair_a"].to_numpy(), pa.int64()),
+                     "vec_b": pa.array(df["doc_pair_b"].to_numpy(), pa.int64()),
+                     "sim": pa.array(round6(df["sim"].to_numpy()), pa.float64())})
+
+
+def embedding_neardup_brute(ds: ray.data.Dataset, full_tbl: pa.Table,
+                            threshold: float = 0.9) -> pa.Table:
+    """Brute-force baseline: broadcast the normalized matrix once
+    (``ray.put``), one matmul per batch, vectorized pair extraction."""
+    all_ids, mat = _mat_from_batch(full_tbl)
+    mat_ref = ray.put((all_ids, _normalize(mat)))
+
+    def batch_pairs(batch: pa.Table) -> pa.Table:
+        ids_g, matn_g = ray.get(mat_ref)
+        b_ids, b_mat = _mat_from_batch(batch)
+        if not len(b_ids):
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        sims = _normalize(b_mat) @ matn_g.T
+        mask = (sims >= threshold) & (ids_g[None, :] > b_ids[:, None])
+        bi, gj = np.nonzero(mask)
+        return pa.table({"vec_a": pa.array(b_ids[bi], pa.int64()),
+                         "vec_b": pa.array(ids_g[gj], pa.int64()),
+                         "sim": pa.array(round6(sims[bi, gj]), pa.float64())})
+
+    tbl = _collect(ds.map_batches(batch_pairs, batch_format="pyarrow"))
     if tbl.num_rows == 0:
         return pa.table({"vec_a": pa.array([], pa.int64()),
                          "vec_b": pa.array([], pa.int64()),
                          "sim": pa.array([], pa.float64())})
     return tbl.sort_by([("vec_a", "ascending"), ("vec_b", "ascending")])
+
+
+def q_embedding_neardup(sf_dir: str) -> pa.Table:
+    """Cosine >= 0.9 pairs (i<j) via the LSH-bucketed scale path (in-bucket
+    math is exact; planted-dup tests pin recall vs the brute baseline)."""
+    return embedding_neardup_pairs(_embeddings(sf_dir))
 
 
 # NOTE: DuckDB's list_cosine_similarity accumulates in float32; the engine
@@ -284,48 +387,125 @@ WHERE sim >= 0.9 ORDER BY vec_a, vec_b
 """.format(cos=_COS_SQL.format(a="a.embedding", b="b.embedding"))
 
 
-def q_ann_topk(sf_dir: str) -> pa.Table:
-    """Brute-force cosine top-5 per query vector (queries = vec_id < 8).
-    Per-batch partial top-k then a tiny driver merge — the numpy-matmul
-    baseline of the similarity-search tier."""
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     import pyarrow.parquet as pq
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    qmask = pc.less(full.column("vec_id"), 8)
-    qtbl = full.filter(qmask)
-    q_ids = np.asarray(qtbl.column("vec_id").to_pylist(), dtype=np.int64)
-    q_mat = np.asarray(qtbl.column("embedding").to_pylist(), dtype=np.float64)
-    qn = np.linalg.norm(q_mat, axis=1)
-    q_matn = q_mat / np.where(qn == 0, 1, qn)[:, None]
-    q_ref = ray.put((q_ids, q_matn))
-    k = 5
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    qtbl = full.filter(pc.less(full.column("vec_id"), 8))
+    q_ids, q_mat = _mat_from_batch(qtbl)
+    return q_ids, _normalize(q_mat)
 
-    def partial_topk(batch: pd.DataFrame) -> pd.DataFrame:
+
+def _partial_topk_fn(q_ref, k: int, probe_of=None):
+    """Per-batch top-k vs the broadcast query matrix; with ``probe_of``
+    (IVF) only candidates whose bucket is probed by some query are scored."""
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
         qi, qm = ray.get(q_ref)
-        sel = batch[batch["vec_id"] >= 8]
-        if len(sel) == 0:
-            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
-        ids = sel["vec_id"].to_numpy()
-        mat = np.asarray(list(sel["embedding"]), dtype=np.float64)
-        n = np.linalg.norm(mat, axis=1)
-        matn = mat / np.where(n == 0, 1, n)[:, None]
-        sims = qm @ matn.T  # (n_query, n_batch)
-        rows_q, rows_n, rows_s = [], [], []
-        for i in range(len(qi)):
-            top = np.argsort(-sims[i])[: k]
-            for j in top:
-                rows_q.append(int(qi[i]))
-                rows_n.append(int(ids[j]))
-                rows_s.append(sims[i, j])
-        return pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n, "sim": rows_s})
+        ids, mat = _mat_from_batch(batch)
+        sel = ids >= 8
+        ids, mat = ids[sel], mat[sel]
+        empty = pa.table({"query_id": pa.array([], pa.int64()),
+                          "neighbor_id": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if not len(ids):
+            return empty
+        matn = _normalize(mat)
+        out_q, out_n, out_s = [], [], []
+        if probe_of is None:
+            sims = qm @ matn.T  # (n_query, n_batch)
+            for i in range(len(qi)):
+                top = np.argsort(-sims[i])[:k]
+                out_q.extend([qi[i]] * len(top))
+                out_n.extend(ids[top])
+                out_s.extend(sims[i, top])
+        else:
+            centroids, probes = ray.get(probe_of)
+            bucket = np.argmax(matn @ centroids.T, axis=1)
+            for i in range(len(qi)):
+                cand = np.isin(bucket, probes[i])
+                if not cand.any():
+                    continue
+                sims = matn[cand] @ qm[i]
+                cids = ids[cand]
+                top = np.argsort(-sims)[:k]
+                out_q.extend([qi[i]] * len(top))
+                out_n.extend(cids[top])
+                out_s.extend(sims[top])
+        if not out_q:
+            return empty
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
 
-    part = _collect(_embeddings(sf_dir).map_batches(partial_topk, batch_format="pandas"))
+    return partial_topk
+
+
+def _merge_topk(part: pa.Table, k: int) -> pa.Table:
     df = part.to_pandas()
     df = df.sort_values(["query_id", "sim", "neighbor_id"],
                         ascending=[True, False, True])
     df = df.groupby("query_id", as_index=False).head(k)
     df["sim"] = round6(df["sim"].to_numpy())
     return pa.Table.from_pandas(df.reset_index(drop=True), preserve_index=False)
+
+
+def q_ann_topk(sf_dir: str) -> pa.Table:
+    """Brute-force cosine top-5 per query vector (queries = vec_id < 8):
+    zero-copy matrix load, one matmul per batch, per-batch partial top-k,
+    tiny driver merge — the baseline of the similarity-search tier."""
+    q_ref = ray.put(_query_matrix(sf_dir))
+    part = _collect(_embeddings(sf_dir).map_batches(
+        _partial_topk_fn(q_ref, k=5), batch_format="pyarrow"))
+    return _merge_topk(part, k=5)
+
+
+IVF_CENTROIDS = 16
+IVF_NPROBE = 4
+
+
+def ann_ivf_centroids(sample: np.ndarray, k: int = IVF_CENTROIDS,
+                      iters: int = 5, seed: int = 11) -> np.ndarray:
+    """Spherical k-means-lite on a sample (deterministic): the IVF coarse
+    quantizer. At cluster scale the sample comes from ``ds.random_sample``
+    and the assignment pass writes bucket-partitioned parquet so queries
+    read only probed partitions."""
+    rng = np.random.default_rng(seed)
+    samplen = _normalize(sample)
+    cent = samplen[rng.choice(len(samplen), size=min(k, len(samplen)),
+                              replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(samplen @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = samplen[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cent[c] = m / n
+    return cent
+
+
+def q_ann_topk_ivf(sf_dir: str) -> pa.Table:
+    """IVF scale path: coarse-quantize candidates to spherical-kmeans
+    buckets; each query scores only its ``nprobe`` nearest buckets.
+    Rows-only (approximate by design); recall vs the brute baseline is
+    pinned by tests."""
+    import pyarrow.parquet as pq
+
+    q_ids, q_matn = _query_matrix(sf_dir)
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    _, sample = _mat_from_batch(full.slice(0, min(4096, full.num_rows)))
+    cent = ann_ivf_centroids(sample)
+    probes = np.argsort(-(q_matn @ cent.T), axis=1)[:, :IVF_NPROBE]
+    q_ref = ray.put((q_ids, q_matn))
+    probe_ref = ray.put((cent, probes))
+    part = _collect(_embeddings(sf_dir).map_batches(
+        _partial_topk_fn(q_ref, k=5, probe_of=probe_ref),
+        batch_format="pyarrow"))
+    return _merge_topk(part, k=5)
 
 
 SQL_ANN_TOPK = """
@@ -592,6 +772,7 @@ QUERIES = {
     "dedup_ngram_verified": q_dedup_ngram_verified,
     "embedding_neardup": q_embedding_neardup,
     "ann_topk": q_ann_topk,
+    "ann_topk_ivf": q_ann_topk_ivf,
     "langid": q_langid,
     "quality_scores": q_quality_scores,
     "token_count_bpe": q_token_count_bpe,

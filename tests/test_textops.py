@@ -100,6 +100,77 @@ def test_ann_topk_matches_bruteforce(tmp_path):
         assert got_q == expect
 
 
+def test_embedding_neardup_lsh_matches_brute(tmp_path):
+    """Planted near-dups (cos ~0.97+): the LSH-bucketed path must find the
+    exact pair set and sims of the brute-force baseline."""
+    import pyarrow.parquet as pq
+
+    from game_review_crawler_ray.pipelines.textops import (
+        _embeddings, embedding_neardup_brute, q_embedding_neardup,
+    )
+
+    rng = np.random.default_rng(5)
+    n_base, d = 60, 32
+    base = rng.normal(size=(n_base, d))
+    rows, vid = [], 0
+    for i in range(n_base):
+        rows.append((vid, base[i])); vid += 1
+        if i % 4 == 0:  # planted near-dup: tiny additive noise
+            noisy = base[i] + rng.normal(scale=0.02, size=d)
+            rows.append((vid, noisy)); vid += 1
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].astype(np.float32).tolist() for r in rows],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    got = q_embedding_neardup(str(tmp_path))
+    brute = embedding_neardup_brute(_embeddings(str(tmp_path)), tbl)
+    assert brute.num_rows >= n_base // 4  # the planted dups are really there
+    assert got.num_rows == brute.num_rows
+    assert got.column("vec_a").to_pylist() == brute.column("vec_a").to_pylist()
+    assert got.column("vec_b").to_pylist() == brute.column("vec_b").to_pylist()
+    for g, b in zip(got.column("sim").to_pylist(), brute.column("sim").to_pylist()):
+        assert abs(g - b) < 1e-9
+
+
+def test_ann_ivf_recall(tmp_path):
+    """IVF probe path: recall@5 vs brute force >= 0.8 on clustered data."""
+    import pyarrow.parquet as pq
+
+    from game_review_crawler_ray.pipelines.textops import (
+        q_ann_topk, q_ann_topk_ivf,
+    )
+
+    rng = np.random.default_rng(9)
+    n_clusters, per, d = 10, 30, 32
+    centers = rng.normal(size=(n_clusters, d)) * 3
+    vecs = np.concatenate([
+        centers[c] + rng.normal(size=(per, d)) for c in range(n_clusters)
+    ])
+    order = rng.permutation(len(vecs))
+    vecs = vecs[order]
+    tbl = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([v.astype(np.float32).tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(tbl, tmp_path / "embeddings.parquet")
+
+    brute = {(r["query_id"], r["neighbor_id"])
+             for r in q_ann_topk(str(tmp_path)).to_pylist()}
+    ivf_rows = q_ann_topk_ivf(str(tmp_path)).to_pylist()
+    ivf = {(r["query_id"], r["neighbor_id"]) for r in ivf_rows}
+    assert len(brute) == 8 * 5
+    recall = len(brute & ivf) / len(brute)
+    assert recall >= 0.8, recall
+    # per-query ordering is (sim desc, neighbor asc)
+    for qi in range(8):
+        sims = [r["sim"] for r in ivf_rows if r["query_id"] == qi]
+        assert sims == sorted(sims, reverse=True)
+
+
 def test_media_features_plumbing():
     from game_review_crawler_ray.stages.multimodal import (
         FakeDecoder, RealDecoder, gen_media, media_features,
