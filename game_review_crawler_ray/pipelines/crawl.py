@@ -162,12 +162,14 @@ def _empty_grant(batch: pa.Table) -> pa.Table:
             .append_column("wait_s", pa.array([], pa.float64())))
 
 
-def write_fetch_log_fn(log_dir: str, num_shards: int):
+def write_fetch_log_fn(log_dir: str, num_shards: int, run_id: str = "r0"):
     """Lineage sink: each task writes its block's fetch_log rows straight to
     a uniquely-named Parquet file (per-partition lineage, resumable). This
     replaces per-row report RPCs into the frontier — the hot path never
     blocks on actor state. Task retries may duplicate a file; readers
-    resolve last-wins per url_norm (load_fetch_log)."""
+    resolve by max (grant_seq, fetch_ts) per url_norm (load_fetch_log).
+    ``run_id`` scopes filenames so a resumed run's metrics count only the
+    rows IT wrote (earlier runs' files stay for resume/lineage)."""
     from ..state.frontier import FETCH_LOG_SCHEMA, VIRTUAL_EPOCH
     import datetime as _dt
     import uuid
@@ -196,7 +198,8 @@ def write_fetch_log_fn(log_dir: str, num_shards: int):
                                      dtype=np.int32, count=len(hosts)),
                          pa.int32()),
             ], schema=FETCH_LOG_SCHEMA)
-            path = os.path.join(log_dir, f"fetch_log-task-{uuid.uuid4().hex}.parquet")
+            path = os.path.join(
+                log_dir, f"fetch_log-task-{run_id}-{uuid.uuid4().hex}.parquet")
             pq.write_table(log, path)
         return batch
 
@@ -274,6 +277,40 @@ def load_seeds(seeds, parallelism: int | None = None) -> ray.data.Dataset:
     return ray.data.from_arrow([s for s in slices if s.num_rows])
 
 
+def preload_from_checkpoint(frontier, out_dir: str, num_shards: int) -> int:
+    """Resume (J6 anti-join): stream the fetch_log checkpoint through Ray
+    Data and preload each frontier shard's seen-set with the hashes of
+    terminal rows — grouped per batch by the lineage ``partition_id`` (the
+    owning shard), so no per-row RPCs and NOTHING post-sized ever lands on
+    the driver (the old path concatenated the whole log into driver
+    pandas; at 10^10 URLs the checkpoint outgrows the driver).
+
+    Duplicate url_norms across files dedup inside the shard's seen-set.
+    Returns the number of fresh hashes preloaded."""
+    files = sorted(glob.glob(os.path.join(out_dir, "fetch_log", "*.parquet")))
+    if not files:
+        return 0
+    ds = ray.data.read_parquet(
+        files, columns=["url_norm", "status", "partition_id"])
+
+    def preload(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch.column("status"),
+                        value_set=pa.array(TERMINAL_STATUSES))
+        sel = batch.filter(mask)
+        parts = sel.column("partition_id").to_numpy(zero_copy_only=False)
+        norms = sel.column("url_norm").to_pylist()
+        hashes = np.fromiter((url_hash64(n) for n in norms), np.uint64,
+                             len(norms))
+        refs = [frontier[int(s)].preload_hashes.remote(hashes[parts == s])
+                for s in np.unique(parts)]
+        fresh = sum(ray.get(refs)) if refs else 0
+        return pa.table({"fresh": pa.array([fresh], pa.int64())})
+
+    out = ray.get(ds.map_batches(preload, batch_format="pyarrow")
+                  .to_arrow_refs())
+    return int(sum(t.column("fresh").to_numpy().sum() for t in out if t.num_rows))
+
+
 def load_fetch_log(out_dir: str) -> pa.Table:
     """Concatenate the per-shard lineage files; duplicate rows per url_norm
     (task retries, corrective late-status rows) are resolved by an explicit
@@ -312,7 +349,10 @@ def run_crawl(
         if _timing:
             _marks.append((name, _time.perf_counter()))
 
+    import uuid as _uuid
+
     cfg = cfg or CrawlConfig()
+    run_id = _uuid.uuid4().hex[:12]
     os.makedirs(out_dir, exist_ok=True)
     ckpt = os.path.join(out_dir, "fetch_log")
     frontier = make_frontier(cfg, checkpoint_dir=ckpt)
@@ -325,22 +365,18 @@ def run_crawl(
             waits.append(shard.set_robots.remote(host, txt))
         ray.get(waits)
 
+    if rate_limited:
+        # simulated-429 budgets live in the owning shard (single source of
+        # truth per host; correct at any fetch parallelism)
+        by_shard: dict[int, dict[str, int]] = {}
+        for host, n in rate_limited.items():
+            by_shard.setdefault(
+                url_hash64(host) % cfg.num_frontier_shards, {})[host] = n
+        ray.get([frontier[s].set_rate_limited.remote(m)
+                 for s, m in by_shard.items()])
+
     if resume:
-        log = load_fetch_log(out_dir)
-        if log.num_rows:
-            mask = pa.compute.is_in(log.column("status"),
-                                    value_set=pa.array(TERMINAL_STATUSES))
-            done = log.filter(mask)
-            hosts = done.column("host").to_pylist()
-            norms = done.column("url_norm").to_pylist()
-            by_shard: dict[int, list[int]] = {}
-            for norm, host in zip(norms, hosts):
-                by_shard.setdefault(url_hash64(host) % cfg.num_frontier_shards, []).append(
-                    url_hash64(norm))
-            ray.get([
-                frontier[s].preload_hashes.remote(np.array(hs, dtype=np.uint64))
-                for s, hs in by_shard.items()
-            ])
+        preload_from_checkpoint(frontier, out_dir, cfg.num_frontier_shards)
 
     # corpus broadcast: one copy in the object store, shared by all fetchers.
     # callers running repeatedly (bench) may pass a pre-put
@@ -362,82 +398,87 @@ def run_crawl(
         index_ref = ray.put(build_corpus_index(pages_tbl))
         _mark("corpus_put")
 
-    if isinstance(seeds, pa.Table):
-        # seed prep (annotate + exact first-wins dedup + shard-aligned block
-        # layout) happens up front: the seed table is tiny relative to the
-        # pages it fans out to. Shard-aligned blocks mean each block's
-        # frontier offer is ONE actor call — without alignment every block
-        # RPCs every shard and the pipeline convoys on the frontier.
-        # At 10^10-seed scale this prep is itself a Ray Data job (sort by
-        # shard key); the per-block offer stays single-RPC either way.
-        ds = prep_seed_blocks(seeds, cfg, parallelism or 64,
-                              exact_dedup=cfg.seen_exact)
-    else:
-        ds = load_seeds(seeds, parallelism)
-        ds = ds.map_batches(_annotate, batch_format="pyarrow")
-        if cfg.seen_exact:
-            ds = ds.materialize()
-            ds = dedup_first_wins(ds)
-    _mark("seeds_prep")
-    ds = ds.map_batches(frontier_offer_fn(frontier, cfg.num_frontier_shards),
-                        batch_format="pyarrow")
-    from ..stages.fetch import make_corpus_fetch_fn
+    try:
+        if isinstance(seeds, pa.Table):
+            # seed prep (annotate + exact first-wins dedup + shard-aligned
+            # block layout) happens up front: the seed table is tiny relative
+            # to the pages it fans out to. Shard-aligned blocks mean each
+            # block's frontier offer is ONE actor call — without alignment
+            # every block RPCs every shard and the pipeline convoys on the
+            # frontier. At 10^10-seed scale this prep is itself a Ray Data
+            # job (sort by shard key); the per-block offer stays single-RPC.
+            ds = prep_seed_blocks(seeds, cfg, parallelism or 64,
+                                  exact_dedup=cfg.seen_exact)
+        else:
+            ds = load_seeds(seeds, parallelism)
+            ds = ds.map_batches(_annotate, batch_format="pyarrow")
+            if cfg.seen_exact:
+                ds = ds.materialize()
+                ds = dedup_first_wins(ds)
+        _mark("seeds_prep")
+        ds = ds.map_batches(frontier_offer_fn(frontier, cfg.num_frontier_shards),
+                            batch_format="pyarrow")
+        from ..stages.fetch import make_corpus_fetch_fn
 
-    ds = ds.map_batches(
-        make_corpus_fetch_fn(corpus_ref, index_ref, frontier,
-                             cfg.num_frontier_shards,
-                             rate_limited=rate_limited,
-                             max_retries=cfg.max_retries),
-        batch_format="pyarrow",
-    )
-    ds = ds.map_batches(parse_batch_fn, batch_size=cfg.parse_batch_size,
-                        batch_format="pyarrow")
-    os.makedirs(ckpt, exist_ok=True)
-    ds = ds.map_batches(write_fetch_log_fn(ckpt, cfg.num_frontier_shards),
-                        batch_format="pyarrow")
+        ds = ds.map_batches(
+            make_corpus_fetch_fn(corpus_ref, index_ref, frontier,
+                                 cfg.num_frontier_shards,
+                                 rate_limited=rate_limited,
+                                 max_retries=cfg.max_retries),
+            batch_format="pyarrow",
+        )
+        ds = ds.map_batches(parse_batch_fn, batch_size=cfg.parse_batch_size,
+                            batch_format="pyarrow")
+        os.makedirs(ckpt, exist_ok=True)
+        ds = ds.map_batches(
+            write_fetch_log_fn(ckpt, cfg.num_frontier_shards, run_id),
+            batch_format="pyarrow")
 
-    posts_dir = os.path.join(out_dir, "posts")
-    ok_ds = ds.filter(expr="status == 'ok'")
-    # zstd: the posts sink is disk-bandwidth-bound on a single box (~2GB
-    # per million pages with snappy); zstd halves the bytes for ~free CPU
-    ok_ds.write_parquet(posts_dir, compression="zstd")
-    _mark("write")
-    if os.environ.get("GRC_PRINT_STATS"):
-        print(ok_ds.stats())
+        posts_dir = os.path.join(out_dir, "posts")
+        ok_ds = ds.filter(expr="status == 'ok'")
+        # zstd: the posts sink is disk-bandwidth-bound on a single box (~2GB
+        # per million pages with snappy); zstd halves the bytes for ~free CPU
+        ok_ds.write_parquet(posts_dir, compression="zstd")
+        _mark("write")
+        if os.environ.get("GRC_PRINT_STATS"):
+            print(ok_ds.stats())
 
-    _mark("drain")
-    ray.get([s.flush_log.remote() for s in frontier])
-    stats = ray.get([s.stats.remote() for s in frontier])
-    metrics = {
-        "granted": sum(s["granted"] for s in stats),
-        "hosts": sum(s["hosts"] for s in stats),
-        "suspended_hosts": sum(s["suspended_hosts"] for s in stats),
-        "log_rows": sum(s["log_rows"] for s in stats),
-        "shards": stats,
-    }
-    # status counts: denied rows from the shard logs + terminal statuses
-    # from the lineage files (column-pruned read: status only)
-    counts: dict[str, int] = {}
-    for c in ray.get([s.status_counts.remote() for s in frontier]):
-        for k, v in c.items():
-            counts[k] = counts.get(k, 0) + v
-    import collections
+        _mark("drain")
+        ray.get([s.flush_log.remote() for s in frontier])
+        stats = ray.get([s.stats.remote() for s in frontier])
+        metrics = {
+            "granted": sum(s["granted"] for s in stats),
+            "hosts": sum(s["hosts"] for s in stats),
+            "suspended_hosts": sum(s["suspended_hosts"] for s in stats),
+            "log_rows": sum(s["log_rows"] for s in stats),
+            "shards": stats,
+        }
+        # status counts: denied rows from the shard logs + terminal statuses
+        # from THIS run's lineage files (run_id-scoped glob — a resumed run
+        # must not re-count rows earlier runs wrote), column-pruned read
+        counts: dict[str, int] = {}
+        for c in ray.get([s.status_counts.remote() for s in frontier]):
+            for k, v in c.items():
+                counts[k] = counts.get(k, 0) + v
+        import collections
 
-    for f in glob.glob(os.path.join(ckpt, "fetch_log-task-*.parquet")):
-        st = pq.read_table(f, columns=["status"]).column("status").to_pylist()
-        for k, v in collections.Counter(st).items():
-            counts[k] = counts.get(k, 0) + v
-    if counts:
-        metrics["status_counts"] = counts
-    _mark("flush_metrics")
-    if _timing:
-        prev = _marks[0][1]
-        for name, t in _marks[1:]:
-            print(f"[phase] {name}: {t - prev:.2f}s")
-            prev = t
-    with open(os.path.join(out_dir, "metrics.json"), "w") as f:
-        json.dump(metrics, f, indent=2, default=str)
-
-    for s in frontier:
-        ray.kill(s)
+        for f in glob.glob(os.path.join(ckpt, f"fetch_log-task-{run_id}-*.parquet")):
+            st = pq.read_table(f, columns=["status"]).column("status").to_pylist()
+            for k, v in collections.Counter(st).items():
+                counts[k] = counts.get(k, 0) + v
+        if counts:
+            metrics["status_counts"] = counts
+        _mark("flush_metrics")
+        if _timing:
+            prev = _marks[0][1]
+            for name, t in _marks[1:]:
+                print(f"[phase] {name}: {t - prev:.2f}s")
+                prev = t
+        with open(os.path.join(out_dir, "metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2, default=str)
+    finally:
+        # always reap the num_cpus=0 shard actors, even when the pipeline
+        # raises — leaked shards would shadow the next run's state
+        for s in frontier:
+            ray.kill(s)
     return {"posts_dir": posts_dir, "fetch_log_dir": ckpt, "metrics": metrics}

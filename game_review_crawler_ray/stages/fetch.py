@@ -142,7 +142,13 @@ class CorpusFetcher:
     # ------------------------------------------------------------------
     def _slow_path(self, batch: pa.Table, found: np.ndarray):
         """Per-row path exercising the 429/backoff/suspension state machine
-        (tests only; mirrors rate_limiter.py:213-268 semantics)."""
+        (tests only; mirrors rate_limiter.py:213-268 semantics).
+
+        The remaining-429 budget lives in the host's frontier shard
+        (``consume_429``) — the single source of truth — so any number of
+        parallel fetch workers still serve exactly N global 429s per host.
+        ``self._rate_limited`` here is only the set of hosts that take this
+        path at all; unaffected hosts skip the RPCs entirely."""
         hosts = batch.column("host").to_pylist()
         suspended = self._suspended_hosts(hosts)
         statuses, attempts = [], []
@@ -153,10 +159,11 @@ class CorpusFetcher:
                 continue
             attempt = 1
             status = "ok"
-            while host in self._rate_limited and self._rate_limited[host] > 0:
-                self._rate_limited[host] -= 1
-                shard = self._frontier[self._shard_of(host)]
-                retry_ok, _backoff = ray.get(shard.report_429.remote(host))
+            shard = self._frontier[self._shard_of(host)]
+            while host in self._rate_limited:
+                served, retry_ok = ray.get(shard.consume_429.remote(host))
+                if not served:
+                    break
                 if not retry_ok:
                     status = "suspended"
                     suspended.add(host)
@@ -164,7 +171,7 @@ class CorpusFetcher:
                 attempt += 1
             if status == "ok" and attempt > 1:
                 # success after retries resets the counter (rate_limiter.py:259-268)
-                self._frontier[self._shard_of(host)].report_success.remote(host)
+                shard.report_success.remote(host)
             if status == "ok" and not found[i]:
                 status = "not_found"
             statuses.append(status)

@@ -71,10 +71,13 @@ def _parse_with(registry: ParserRegistry, batch: pa.Table) -> pa.Table:
             out_status.append(statuses[i])
         else:
             try:
+                # a non-UTF-8 page is a parse failure for THAT row, never a
+                # task failure (the HttpFetcher swap-in may deliver any
+                # charset; the reference sniffs, content_crawler.py:120-148)
                 rec = parse_page(htmls[i].decode("utf-8"), urls[i], kws[i],
                                  registry=registry)
                 out_status.append("ok")
-            except ParseFailure:
+            except (ParseFailure, UnicodeDecodeError):
                 rec = None
                 out_status.append("parse_failed")
         for name, _t in POST_COLUMNS:

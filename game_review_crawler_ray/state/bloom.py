@@ -38,16 +38,28 @@ class BloomSeen:
         """Insert; return bool mask of keys that were NOT already present.
 
         First occurrence within the batch wins (duplicates later in the same
-        batch report False).
+        batch report False). Fully vectorized: membership is tested against
+        the pre-batch filter state, in-batch repeats are resolved with
+        ``np.unique`` (first index per distinct hash), and all new keys' bits
+        are set in one ``bitwise_or.at`` — no per-key Python loop.
         """
-        out = np.zeros(len(hashes), dtype=bool)
-        for i in range(len(hashes)):  # per-key loop: bit races within a batch
-            pos = self._positions(hashes[i : i + 1])[0]
-            word, bit = pos >> np.uint64(6), pos & np.uint64(63)
-            present = np.all((self.bits[word] >> bit) & np.uint64(1) == 1)
-            if not present:
-                np.bitwise_or.at(self.bits, word, np.uint64(1) << bit)
-                out[i] = True
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        n = len(hashes)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        pos = self._positions(hashes)                    # (n, k)
+        word, bit = pos >> np.uint64(6), pos & np.uint64(63)
+        present = np.all((self.bits[word] >> bit) & np.uint64(1) == 1, axis=1)
+        # in-batch dedup: only the FIRST occurrence of each distinct hash
+        # may report fresh (later repeats must see it as present)
+        _, first_idx = np.unique(hashes, return_index=True)
+        is_first = np.zeros(n, dtype=bool)
+        is_first[first_idx] = True
+        out = ~present & is_first
+        if out.any():
+            w = word[out].reshape(-1)
+            b = bit[out].reshape(-1)
+            np.bitwise_or.at(self.bits, w, np.uint64(1) << b)
         return out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:

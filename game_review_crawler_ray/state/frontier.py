@@ -94,10 +94,12 @@ class FrontierShard:
             self.seen = BloomSeen(self.cfg.bloom_capacity, self.cfg.bloom_fpp)
         self.hosts: dict[str, HostState] = {}
         self.robots: dict[str, object] = {}
+        self.rate_budget: dict[str, int] = {}   # host -> remaining simulated 429s
         self._grant_counter = 0
-        self._log: list[tuple] = []
+        self._log: list[tuple] = []             # unflushed tail only
+        self._total_log_rows = 0
+        self._status_counter: dict[str, int] = {}
         self._flushed_files = 0
-        self._flushed_rows = 0
         self._checkpoint_dir: str | None = None
         self.flush_every = 10_000
 
@@ -135,7 +137,9 @@ class FrontierShard:
                  grant_seq, discovered_seq, sched_s):
         self._log.append([url, url_norm, host, sched_s, status, attempt,
                           wait_s, grant_seq, discovered_seq, self.shard_id])
-        if len(self._log) - self._flushed_rows >= self.flush_every and self._checkpoint_dir:
+        self._total_log_rows += 1
+        self._status_counter[status] = self._status_counter.get(status, 0) + 1
+        if len(self._log) >= self.flush_every and self._checkpoint_dir:
             self.flush_log()
 
     def set_checkpoint_dir(self, path: str) -> None:
@@ -206,9 +210,12 @@ class FrontierShard:
         }
 
     def _robots_allowed_lazy(self, host: str, batch: pa.Table, i: int) -> bool:
+        # robots rules are matched against the NORMALIZED url's path, the
+        # same key the seen-set dedups on — mixed-case variants of one page
+        # therefore always get the same verdict.
         if not self.robots or host not in self.robots:
             return True
-        return self._robots_allowed(host, batch.column("url")[i].as_py())
+        return self._robots_allowed(host, batch.column("url_norm")[i].as_py())
 
     # ------------------------------------------------------------------
     # Pull model: per-host PRIORITY QUEUES drained in politeness order.
@@ -262,7 +269,7 @@ class FrontierShard:
             q = queues[host]
             rank, url, norm, kw = heapq.heappop(q)
             st = self._host_state(host)
-            if st.suspended or not self._robots_allowed(host, url):
+            if st.suspended or not self._robots_allowed(host, norm):
                 status = "suspended" if st.suspended else "robots_denied"
                 self._log_row(url, norm, host, status, 0, 0.0, -1, rank,
                               st.next_free_s)
@@ -308,6 +315,25 @@ class FrontierShard:
         backoff = float(2 ** st.retry_count)
         st.next_free_s += backoff
         return (True, backoff)
+
+    def set_rate_limited(self, budgets: dict[str, int]) -> None:
+        """Install simulated-429 budgets for hosts this shard owns. The
+        budget lives HERE — the single source of truth per host — so fetch
+        parallelism > 1 still serves exactly N global 429s per host (the
+        reference's serial loop semantics, rate_limiter.py:213-257)."""
+        self.rate_budget.update(budgets)
+
+    def consume_429(self, host: str) -> tuple[bool, bool]:
+        """Atomically consume one simulated 429 for ``host``.
+
+        Returns (served, retry_ok): served=False means the budget is
+        exhausted (the fetch succeeds); retry_ok=False means the host just
+        exceeded max_retries and is now suspended."""
+        if self.rate_budget.get(host, 0) <= 0:
+            return (False, True)
+        self.rate_budget[host] -= 1
+        retry_ok, _backoff = self.report_429(host)
+        return (True, retry_ok)
 
     def report_success(self, host: str) -> None:
         self._host_state(host).retry_count = 0
@@ -356,33 +382,35 @@ class FrontierShard:
         return pa.Table.from_arrays(arrays, schema=FETCH_LOG_SCHEMA)
 
     def flush_log(self) -> str | None:
-        """Flush the unflushed lineage tail to a numbered Parquet file."""
-        if self._checkpoint_dir is None or self._flushed_rows >= len(self._log):
+        """Flush the unflushed lineage tail to a numbered Parquet file and
+        drop the flushed rows (the shard's memory stays bounded over a
+        long crawl; running status counters survive in
+        ``_status_counter``)."""
+        if self._checkpoint_dir is None or not self._log:
             return None
-        chunk = self._log[self._flushed_rows:]
         path = os.path.join(
             self._checkpoint_dir,
             f"fetch_log-shard{self.shard_id:03d}-{self._flushed_files:05d}.parquet",
         )
-        pq.write_table(self._log_table(chunk), path)
-        self._flushed_rows = len(self._log)
+        pq.write_table(self._log_table(self._log), path)
+        self._log = []
         self._flushed_files += 1
         return path
 
     def get_log(self) -> pa.Table:
+        """The UNFLUSHED lineage tail (flushed rows live in parquet)."""
         return self._log_table(self._log)
 
     def status_counts(self) -> dict:
-        import collections
-
-        return dict(collections.Counter(row[4] for row in self._log))
+        """Running counts over every row logged this run (flushed or not)."""
+        return dict(self._status_counter)
 
     def stats(self) -> dict:
         return {
             "shard_id": self.shard_id,
             "hosts": len(self.hosts),
             "granted": self._grant_counter,
-            "log_rows": len(self._log),
+            "log_rows": self._total_log_rows,
             "seen_approx": self.seen.approx_len(),
             "suspended_hosts": sum(1 for s in self.hosts.values() if s.suspended),
         }

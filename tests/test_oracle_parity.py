@@ -38,7 +38,11 @@ def test_query_matches_oracle(ctx, name):
     from tools.oracle_check import normalize, to_pandas
 
     queries, oracles, con = ctx
-    got = normalize(to_pandas(queries[name](SF_DIR)))
+    # crawl-output oracles hardcode the sf0.01 cache path (the driver's
+    # correctness gate runs at sf0.01) — run those at sf0.01 here too
+    sf_dir = ("/root/testdata/sf0.01" if "grc_crawl" in oracles[name]
+              else SF_DIR)
+    got = normalize(to_pandas(queries[name](sf_dir)))
     exp = normalize(con.sql(oracles[name]).df())
     assert list(got.columns) == list(exp.columns), name
     assert len(got) == len(exp), name
