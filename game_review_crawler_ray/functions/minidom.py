@@ -43,7 +43,7 @@ class TextNode:
 
 
 class Element:
-    __slots__ = ("tag", "attrs", "children", "parent", "_index")
+    __slots__ = ("tag", "attrs", "children", "parent", "_index", "_classes")
 
     def __init__(self, tag: str, attrs: dict[str, str], parent: "Element | None"):
         self.tag = tag
@@ -51,6 +51,7 @@ class Element:
         self.children: list[Element | TextNode] = []
         self.parent = parent
         self._index = None  # document-order class/tag index (root only, lazy)
+        self._classes = None  # lazy split of the class attribute (immutable)
 
     # -- attribute helpers -------------------------------------------------
     def has_attr(self, name: str) -> bool:
@@ -64,19 +65,24 @@ class Element:
 
     @property
     def classes(self) -> list[str]:
-        return self.attrs.get("class", "").split()
+        # attrs never mutate after parse, so the split is cached (hot:
+        # every class-selector match reads it)
+        c = self._classes
+        if c is None:
+            c = self._classes = self.attrs.get("class", "").split()
+        return c
 
     # -- traversal ---------------------------------------------------------
     def iter_elements(self) -> Iterator["Element"]:
         """All descendant elements in document order (excluding self)."""
         for child in self.children:
-            if isinstance(child, Element):
+            if type(child) is Element:
                 yield child
                 yield from child.iter_elements()
 
     def iter_text_nodes(self) -> Iterator[TextNode]:
         for child in self.children:
-            if isinstance(child, TextNode):
+            if type(child) is TextNode:
                 yield child
             else:
                 yield from child.iter_text_nodes()
@@ -123,6 +129,15 @@ class Element:
         """
         if self.parent is not None or self.tag != "[document]":
             return self.iter_elements(), False
+        by_class, by_tag = self._ensure_index()
+        if subject.classes:
+            return by_class.get(subject.classes[0], ()), True
+        if subject.tag is not None:
+            return by_tag.get(subject.tag, ()), True
+        return self.iter_elements(), False
+
+    def _ensure_index(self):
+        """Lazy document-order class/tag index (root element only)."""
         if self._index is None:
             by_class: dict[str, list[Element]] = {}
             by_tag: dict[str, list[Element]] = {}
@@ -131,12 +146,7 @@ class Element:
                     by_class.setdefault(c, []).append(el)
                 by_tag.setdefault(el.tag, []).append(el)
             self._index = (by_class, by_tag)
-        by_class, by_tag = self._index
-        if subject.classes:
-            return by_class.get(subject.classes[0], ()), True
-        if subject.tag is not None:
-            return by_tag.get(subject.tag, ()), True
-        return self.iter_elements(), False
+        return self._index
 
     def _attached(self, el: "Element") -> bool:
         node = el
@@ -181,6 +191,28 @@ class Element:
             return [t for t in self.iter_text_nodes() if string.search(t.text)]
         if isinstance(tags, str):
             tags = [tags]
+        # root scope + tag filter: serve candidates from the lazy tag index
+        # (document order preserved; decomposed nodes re-verified)
+        if (tags is not None and self.parent is None
+                and self.tag == "[document]"):
+            _, by_tag = self._ensure_index()
+            cands = [el for t in tags for el in by_tag.get(t, ())]
+            if len(tags) > 1:  # restore document order across tag lists
+                order = {el: i for i, el in enumerate(self.iter_elements())}
+                cands.sort(key=lambda el: order.get(el, 1 << 30))
+            out = []
+            for el in cands:
+                if not self._attached(el):
+                    continue
+                if class_ is not None:
+                    if isinstance(class_, str):
+                        if class_ not in el.classes:
+                            continue
+                    else:
+                        if not any(class_.search(c) for c in el.classes):
+                            continue
+                out.append(el)
+            return out
         out = []
         for el in self.iter_elements():
             if tags is not None and el.tag not in tags:

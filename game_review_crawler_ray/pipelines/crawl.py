@@ -208,56 +208,85 @@ def write_fetch_log_fn(log_dir: str, num_shards: int, run_id: str = "r0"):
 
 def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
                      exact_dedup: bool = True) -> ray.data.Dataset:
-    """Driver-side seed prep: annotate, exact first-wins dedup, sort by
-    (frontier shard, seed_rank), emit shard-aligned blocks.
+    """Seed prep: annotate, exact first-wins dedup, sort by (frontier
+    shard, seed_rank), emit shard-aligned blocks.
 
-    Suits seed tables up to ~10^8 rows on one node; beyond that run the
-    same steps as a Ray Data sort keyed on the shard id (documented scale
-    path) or skip dedup entirely and let the frontier bloom shards absorb
-    duplicates (cfg.seen_exact=False).
+    The CPU-heavy parts (normalize/hash/shard-id) run in parallel Ray
+    tasks; the driver does only vectorized numpy over fixed-width columns
+    (``np.unique`` on the 64-bit url hashes for first-wins dedup — the
+    same key the frontier seen-set dedups on — and one stable argsort on
+    shard ids). Suits seed tables up to ~10^8 rows on one node; beyond
+    that run the same steps as a Ray Data sort keyed on the shard id
+    (documented scale path) or skip dedup entirely and let the frontier
+    bloom shards absorb duplicates (cfg.seen_exact=False).
     """
-    import pandas as pd
+    num_shards = cfg.num_frontier_shards
 
-    # annotate in parallel Ray tasks (hashing/normalizing is the only
-    # CPU-heavy part of prep)
+    @ray.remote(num_returns=2)
+    def _annotate_slice(t: pa.Table):
+        out = annotate_urls(t)
+        hosts = out.column("host").to_pylist()
+        shard_of = {h: url_hash64(h) % num_shards for h in set(hosts)}
+        sid = np.fromiter((shard_of[h] for h in hosts), dtype=np.int64,
+                          count=len(hosts))
+        out = out.append_column("shard_id", pa.array(sid, pa.int64()))
+        hashes = out.column("url_hash").to_numpy(zero_copy_only=False)
+        # second return: ONLY the compact dedup keys — the table itself
+        # stays in the object store (the driver never gathers row data)
+        return out, (np.asarray(hashes, dtype=np.uint64), sid)
+
+    @ray.remote
+    def _split_by_shard(n_shards: int, keep_mask, *tables):
+        t = pa.concat_tables(tables)
+        if keep_mask is not None:
+            t = t.filter(pa.array(keep_mask))
+        sid = t.column("shard_id").to_numpy(zero_copy_only=False)
+        t = t.drop_columns(["shard_id"])
+        return tuple(t.filter(pa.array(sid == s)) for s in range(n_shards))
+
     n_slices = max(1, min(parallelism, seeds.num_rows // 2000 + 1))
     per = (seeds.num_rows + n_slices - 1) // n_slices
-    ann_task = ray.remote(lambda t: annotate_urls(t))
-    ann_parts = ray.get([ann_task.remote(seeds.slice(i * per, per))
-                         for i in range(n_slices)])
-    tbl = pa.concat_tables([t for t in ann_parts if t.num_rows])
+    wave1 = [_annotate_slice.remote(seeds.slice(i * per, per))
+             for i in range(n_slices)]
+    tbl_refs = [w[0] for w in wave1]
+    small = ray.get([w[1] for w in wave1])
+
+    keep_parts: list | None = None
     if exact_dedup:
-        # first-wins: rows are in seed_rank order, so dropping later
-        # duplicates per url_norm equals the min-seed_rank winner (D1).
-        # pandas only sees the one string column; the table itself stays
-        # arrow (no full to_pandas round-trip).
-        norms = tbl.column("url_norm").to_pandas()
-        keep = ~norms.duplicated(keep="first").to_numpy()
-        tbl = tbl.filter(pa.array(keep))
-    hosts = tbl.column("host").to_pandas()
-    shard_of = {h: url_hash64(h) % cfg.num_frontier_shards
-                for h in hosts.unique()}
-    shard_ids = hosts.map(shard_of).to_numpy(dtype=np.int64)
-    order = np.argsort(shard_ids, kind="stable")
-    tbl = tbl.take(pa.array(order))
-    shard_sorted = shard_ids[order]
-    # block layout: never span shards; split big shards into ~equal chunks.
-    # Rows per block are capped: every block later carries its pages' html
-    # (~2KB/row), and oversized html-laden blocks blow up worker heaps and
-    # the object store (8k rows ≈ 16MB of html per block).
-    uniq, cnts = np.unique(shard_sorted, return_counts=True)
-    counts = dict(zip(uniq.tolist(), cnts.tolist()))
-    target = max(256, min((tbl.num_rows + parallelism - 1) // parallelism, 8192))
-    blocks, start = [], 0
-    for shard, cnt in sorted(counts.items()):
-        n_chunks = max(1, round(cnt / target))
-        per = (cnt + n_chunks - 1) // n_chunks
-        off = 0
-        while off < cnt:
-            blocks.append(tbl.slice(start + off, min(per, cnt - off)))
-            off += per
-        start += cnt
-    return ray.data.from_arrow([b for b in blocks if b.num_rows])
+        # first-wins by 64-bit url hash: rows are in seed_rank order, so
+        # the first occurrence per hash equals the min-seed_rank winner
+        # (D1) — the identical key the frontier's exact seen-set uses.
+        hashes = np.concatenate([s[0] for s in small]) if small else \
+            np.array([], dtype=np.uint64)
+        _, first_idx = np.unique(hashes, return_index=True)
+        if len(first_idx) < len(hashes):
+            keep = np.zeros(len(hashes), dtype=bool)
+            keep[first_idx] = True
+            keep_parts, off = [], 0
+            for s in small:
+                keep_parts.append(keep[off: off + len(s[0])])
+                off += len(s[0])
+
+    # wave 2 groups CONSECUTIVE annotate slices so each (group, shard)
+    # block lands near 8k rows — the measured sweet spot: blocks carry
+    # ~2KB/row of html downstream (bigger blows worker heaps), while
+    # halving block size costs ~30% throughput in per-task overhead
+    n_groups = int(np.clip(round(seeds.num_rows / (8192 * num_shards)),
+                           1, n_slices))
+    groups = np.array_split(np.arange(n_slices), n_groups)
+    wave2 = []
+    for idxs in groups:
+        masks = (np.concatenate([keep_parts[i] for i in idxs])
+                 if keep_parts else None)
+        wave2.append(_split_by_shard.options(num_returns=num_shards).remote(
+            num_shards, masks, *[tbl_refs[i] for i in idxs]))
+    if num_shards == 1:  # num_returns=1 yields a bare ref, not a list
+        wave2 = [[r] for r in wave2]
+    # shard-major, seed-order-minor ref layout: every block holds one
+    # shard's rows (single-RPC offers) and blocks within a shard keep
+    # global seed order
+    ordered = [wave2[g][s] for s in range(num_shards) for g in range(len(wave2))]
+    return ray.data.from_arrow_refs(ordered)
 
 
 def load_seeds(seeds, parallelism: int | None = None) -> ray.data.Dataset:
@@ -460,11 +489,22 @@ def run_crawl(
         for c in ray.get([s.status_counts.remote() for s in frontier]):
             for k, v in c.items():
                 counts[k] = counts.get(k, 0) + v
-        import collections
 
-        for f in glob.glob(os.path.join(ckpt, f"fetch_log-task-{run_id}-*.parquet")):
-            st = pq.read_table(f, columns=["status"]).column("status").to_pylist()
-            for k, v in collections.Counter(st).items():
+        @ray.remote
+        def _file_counts(paths: list[str]) -> dict:
+            import collections as _c
+
+            acc: _c.Counter = _c.Counter()
+            for p in paths:
+                acc.update(pq.read_table(p, columns=["status"])
+                           .column("status").to_pylist())
+            return dict(acc)
+
+        files = glob.glob(os.path.join(ckpt, f"fetch_log-task-{run_id}-*.parquet"))
+        n_tasks = max(1, min(len(files), parallelism or 32))
+        chunks = [files[i::n_tasks] for i in range(n_tasks)]
+        for c in ray.get([_file_counts.remote(ch) for ch in chunks if ch]):
+            for k, v in c.items():
                 counts[k] = counts.get(k, 0) + v
         if counts:
             metrics["status_counts"] = counts
