@@ -102,7 +102,8 @@ def run_crawl_bench(corpus_dir: str, num_cpus: int) -> dict:
     run_crawl(corpus_refs, seeds, warm_out, cfg, parallelism=num_cpus)
     shutil.rmtree(warm_out, ignore_errors=True)
     best, res = None, None
-    for _ in range(2):
+    n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
+    for _ in range(n_runs):
         run_out = tempfile.mkdtemp(prefix="grc_bench_run_")
         t0 = time.perf_counter()
         r = run_crawl(corpus_refs, seeds, run_out, cfg, parallelism=num_cpus)
@@ -144,25 +145,35 @@ def main() -> None:
     sf = sf_of(sf_dir)
 
     if "--scaling" in sys.argv:
+        # Levels run INTERLEAVED (8,32,8,32,...) in fresh subprocesses:
+        # this hypervisor shows slow multi-minute throughput drift (the
+        # same binary measured 42k and 51k pages/s hours apart at 32
+        # cpus), so back-to-back per-level runs bias the ratio; pairing
+        # the levels in time and taking best-of per level decorrelates it.
+        reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
         corpus = ensure_bench_corpus(sf)
-        results = {}
-        for cpus in (8, 32):
-            proc = subprocess.run(
-                [sys.executable, __file__, "--crawl-only"],
-                env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
-                     "GRAFT_SF_DIR": sf_dir},
-                capture_output=True, text=True, timeout=3600,
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            results[cpus] = json.loads(line)
-        thr8 = results[8]["pages_per_sec"]
-        thr32 = results[32]["pages_per_sec"]
+        series: dict[int, list[float]] = {8: [], 32: []}
+        for _ in range(reps):
+            for cpus in (8, 32):
+                proc = subprocess.run(
+                    [sys.executable, __file__, "--crawl-only"],
+                    env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
+                         "GRAFT_SF_DIR": sf_dir,
+                         "GRAFT_BENCH_RUNS": os.environ.get(
+                             "GRAFT_BENCH_RUNS", "1")},
+                    capture_output=True, text=True, timeout=3600,
+                )
+                line = proc.stdout.strip().splitlines()[-1]
+                series[cpus].append(json.loads(line)["pages_per_sec"])
+        thr8, thr32 = max(series[8]), max(series[32])
         eff = (thr32 / thr8) / 4.0
         print(json.dumps({
             "metric": "crawl pages/s scaling 8->32 cpus",
             "value": round(eff, 4), "unit": "efficiency",
             "pages_per_sec_8": round(thr8, 1),
             "pages_per_sec_32": round(thr32, 1),
+            "series_8": [round(x, 1) for x in series[8]],
+            "series_32": [round(x, 1) for x in series[32]],
             "sf": sf, "corpus": bench_params(sf),
         }))
         return
