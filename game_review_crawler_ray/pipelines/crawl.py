@@ -271,8 +271,12 @@ def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
     # block lands near 8k rows — the measured sweet spot: blocks carry
     # ~2KB/row of html downstream (bigger blows worker heaps), while
     # halving block size costs ~30% throughput in per-task overhead
-    n_groups = int(np.clip(round(seeds.num_rows / (8192 * num_shards)),
-                           1, n_slices))
+    # floor: at least one block per worker (n_groups*num_shards >= cpus),
+    # else small corpora leave workers idle in a single task wave
+    n_groups = int(np.clip(
+        max(round(seeds.num_rows / (8192 * num_shards)),
+            -(-parallelism // num_shards)),
+        1, n_slices))
     groups = np.array_split(np.arange(n_slices), n_groups)
     wave2 = []
     for idxs in groups:

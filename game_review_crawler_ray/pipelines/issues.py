@@ -652,6 +652,45 @@ QUERIES = {
     "alerts_summary": q_alerts_summary,
 }
 
+# K4 hot posts are SQL-expressible end-to-end (score -> maxes -> weighted
+# hot score -> top-k): the oracle recomputes the whole chain from the raw
+# posts parquet, checking the distributed partial-top-k implementation.
+_BUG_LIKE = " OR ".join(f"tl LIKE '%{w}%'" for w in sorted(BUG_KEYWORDS))
+
+SQL_HOT_POSTS = """
+WITH posts AS (
+    SELECT url, title, body, site, author, created_at, view_count, like_count,
+           CAST(coalesce(len(comments), 0) AS BIGINT) AS n_comments
+    FROM read_parquet('{path}')
+), p AS (
+    SELECT *, trim(regexp_replace(lower(coalesce(title, '') || ' ' ||
+                   coalesce(title, '') || ' ' || coalesce(body, '')),
+                   '\\s+', ' ', 'g')) AS t,
+           lower(coalesce(title, '') || ' ' || coalesce(body, '')) AS tl
+    FROM posts
+), c AS (
+    SELECT *, {pos} AS pos_cnt, {neg} AS neg_cnt FROM p
+), s AS (
+    SELECT *, ROUND({score_case}, 6) AS score FROM c
+), m AS (
+    SELECT GREATEST(max(view_count), 1) AS mv,
+           GREATEST(max(n_comments), 1) AS mc
+    FROM s
+)
+SELECT url, title, site, author, created_at, view_count, n_comments,
+       like_count,
+       ROUND(LEAST(0.4 * LEAST(view_count / CAST(mv AS DOUBLE), 1.0)
+             + 0.3 * LEAST(n_comments / CAST(mc AS DOUBLE), 1.0)
+             + 0.3 * (1.0 - score) / 2.0, 1.0), 6) AS hot_score,
+       score,
+       ({bug_expr}) AS is_bug
+FROM s, m
+ORDER BY hot_score DESC, url ASC LIMIT 20
+""".format(path=_CRAWL01_POSTS,
+           pos=_ko_count_expr(POSITIVE_KO), neg=_ko_count_expr(NEGATIVE_KO),
+           score_case=_SCORE_CASE, bug_expr=_BUG_LIKE)
+
 ORACLE_SQL = {
     "combined_sentiment": SQL_COMBINED_SENTIMENT,
+    "hot_posts": SQL_HOT_POSTS,
 }
