@@ -184,6 +184,25 @@ def write_quicksight(posts: ray.data.Dataset, sentiment: ray.data.Dataset | None
     return out
 
 
+def load_exported_posts(game_dirs: dict[str, str]) -> ray.data.Dataset:
+    """S11 dashboard loader: read several games' exported post-JSON
+    directories into ONE Dataset, each row tagged with its ``game_id``
+    source (the reference dashboard's multi-file JSON load + tagging,
+    dashboard/data_loader semantics)."""
+    parts = []
+    for game_id, path in sorted(game_dirs.items()):
+        ds = ray.data.read_json(path)
+
+        def tag(batch: pa.Table, g=game_id) -> pa.Table:
+            return batch.append_column(
+                "game_id", pa.array([g] * batch.num_rows, pa.string()))
+
+        parts.append(ds.map_batches(tag, batch_format="pyarrow"))
+    if not parts:
+        raise ValueError("no game dirs given")
+    return parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+
+
 # -- format registry (ExporterFactory plugin surface) -----------------------
 
 EXPORTERS = {

@@ -764,9 +764,32 @@ def q_media_features(sf_dir: str) -> pa.Table:
                        "sample_rate", "feat_norm"]).sort_by("media_id")
 
 
+def q_media_frames(sf_dir: str) -> pa.Table:
+    """Frame-sampling stage: one row per sampled frame, frame sizes only
+    (rows-only: binary frames are not a driver view)."""
+    from ..stages.multimodal import gen_media, media_frames
+
+    n = max(100, int(_sf_of(sf_dir) * 20_000))
+    out = media_frames(gen_media(n, seed=42))
+
+    def sizes(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "frame_idx": batch.column("frame_idx"),
+            "frame_bytes": _pc.cast(_pc.binary_length(batch.column("frame")),
+                                    pa.int64()),
+        })
+
+    tbl = _collect(out.map_batches(sizes, batch_format="pyarrow"))
+    return tbl.sort_by([("media_id", "ascending"), ("frame_idx", "ascending")])
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "media_features": q_media_features,
+    "media_frames": q_media_frames,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_ngram_verified": q_dedup_ngram_verified,

@@ -96,6 +96,82 @@ class CorpusSearchAdapter(SearchAdapter):
         return out
 
 
+class DuckDuckGoAdapter(CorpusSearchAdapter):
+    """S3: DuckDuckGo semantics on the corpus index (adapters.py:63-169).
+
+    Distinctive behavior kept: throttling is detected by CLASSIFYING the
+    underlying library's error message ("rate"/"429" substrings,
+    adapters.py:156-159) rather than by exception type — simulated here
+    via ``raw_errors``, a list of error strings the underlying engine will
+    raise on successive calls."""
+
+    name = "duckduckgo"
+
+    def __init__(self, pages_index: list[dict], raw_errors: list[str] | None = None):
+        super().__init__(pages_index)
+        self._raw_errors = list(raw_errors or [])
+
+    def search(self, keywords: list[str], site: str,
+               max_results: int = 10) -> list[SearchResult]:
+        if self._raw_errors:
+            msg = self._raw_errors.pop(0)
+            if "rate" in msg.lower() or "429" in msg:
+                raise AdapterThrottled(self.name)
+            raise RuntimeError(msg)
+        return super().search(keywords, site, max_results)
+
+
+class GoogleCSEAdapter(CorpusSearchAdapter):
+    """S4: Google CSE semantics on the corpus index (adapters.py:172-262).
+
+    Distinctive behavior kept: requires credentials (``is_available``,
+    adapters.py:197) and hard-caps every request at 10 results
+    (``num=min(max_results, 10)``, adapters.py:236)."""
+
+    name = "google_cse"
+    MAX_NUM = 10
+
+    def __init__(self, pages_index: list[dict], api_key: str | None = None,
+                 cse_id: str | None = None):
+        super().__init__(pages_index)
+        self._api_key = api_key
+        self._cse_id = cse_id
+
+    def is_available(self) -> bool:
+        return bool(self._api_key and self._cse_id)
+
+    def search(self, keywords: list[str], site: str,
+               max_results: int = 10) -> list[SearchResult]:
+        if not self.is_available():
+            raise RuntimeError("google_cse: api key / cse id not configured")
+        return super().search(keywords, site,
+                              min(max_results, self.MAX_NUM))
+
+
+class DirectCrawlAdapter(CorpusSearchAdapter):
+    """Board-list direct crawl fallback (adapters.py:265-420): returns the
+    site's pages in discovery order WITHOUT keyword containment — the
+    reference crawls the board list and leaves relevance filtering to the
+    manager. Only absolute http(s) links survive (adapters.py:387-413)."""
+
+    name = "direct"
+
+    def search(self, keywords: list[str], site: str,
+               max_results: int = 10) -> list[SearchResult]:
+        self.calls += 1
+        out = []
+        for page in self._pages:
+            if site and site not in page["host"]:
+                continue
+            if not page["url"].startswith(("http://", "https://")):
+                continue
+            out.append(SearchResult(page["url"], page["title"],
+                                    page["text"][:160]))
+            if len(out) >= max_results:
+                break
+        return out
+
+
 class SearchCache:
     """TTL cache keyed by md5(','.join(sorted(keywords)) + ':' + site)
     (cache.py:42-56) — keyword order-insensitive (operator D2)."""

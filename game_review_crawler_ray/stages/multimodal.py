@@ -91,6 +91,81 @@ class FakeDecoder:
         return out.append_column("feature", feat_arr).append_column("feat_norm", norm)
 
 
+class FakeResizer:
+    """Deterministic resize stub for image rows (actor-pool stage).
+
+    A real deployment decodes + resizes with PIL/opencv; here the payload
+    bytes are resampled to ``target_w*target_h`` with nearest-index
+    sampling so output sizes, metadata updates and the binary-in/binary-out
+    actor signature are all real. Audio rows pass through untouched.
+    """
+
+    def __init__(self, target_w: int = 64, target_h: int = 64):
+        self.tw, self.th = target_w, target_h
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        n_out = self.tw * self.th
+        out_p, out_w, out_h = [], [], []
+        for kind, payload, w, h in zip(kinds, payloads,
+                                       batch.column("width").to_pylist(),
+                                       batch.column("height").to_pylist()):
+            if kind != "image" or not payload:
+                out_p.append(payload)
+                out_w.append(w)
+                out_h.append(h)
+                continue
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            idx = (np.arange(n_out) * len(arr) // n_out).astype(np.int64)
+            out_p.append(arr[idx].tobytes())
+            out_w.append(self.tw)
+            out_h.append(self.th)
+        names = batch.column_names
+        return (batch
+                .set_column(names.index("payload"), "payload",
+                            pa.array(out_p, pa.binary()))
+                .set_column(names.index("width"), "width",
+                            pa.array(out_w, pa.int32()))
+                .set_column(names.index("height"), "height",
+                            pa.array(out_h, pa.int32())))
+
+
+class FrameSampler:
+    """Uniform frame sampling for audio/video rows: one output row per
+    sampled frame (media_id, frame_idx, frame payload) — the explode shape
+    a video pipeline needs. Image rows emit one frame (the whole payload).
+    """
+
+    def __init__(self, n_frames: int = 4, frame_bytes: int = 256):
+        self.n_frames = n_frames
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_o, idx_o, frames_o = [], [], []
+        for mid, kind, payload in zip(batch.column("media_id").to_pylist(),
+                                      batch.column("kind").to_pylist(),
+                                      batch.column("payload").to_pylist()):
+            payload = payload or b""
+            if kind == "image":
+                ids_o.append(mid)
+                idx_o.append(0)
+                frames_o.append(payload)
+                continue
+            n = max(1, len(payload) // self.frame_bytes)
+            k = min(self.n_frames, n)
+            for j in range(k):
+                start = (j * n // k) * self.frame_bytes
+                ids_o.append(mid)
+                idx_o.append(j)
+                frames_o.append(payload[start: start + self.frame_bytes])
+        return pa.table({
+            "media_id": pa.array(ids_o, pa.int64()),
+            "frame_idx": pa.array(idx_o, pa.int32()),
+            "frame": pa.array(frames_o, pa.binary()),
+        })
+
+
 def media_features(media: pa.Table, concurrency: int = 2,
                    batch_size: int = 64) -> ray.data.Dataset:
     """The multimodal pipeline: actor-pool decode/feature-extract over small
@@ -98,3 +173,21 @@ def media_features(media: pa.Table, concurrency: int = 2,
     ds = ray.data.from_arrow(media)
     return ds.map_batches(FakeDecoder, concurrency=concurrency,
                           batch_size=batch_size, batch_format="pyarrow")
+
+
+def media_resize(media: pa.Table, target_w: int = 64, target_h: int = 64,
+                 concurrency: int = 2, batch_size: int = 64) -> ray.data.Dataset:
+    ds = ray.data.from_arrow(media)
+    return ds.map_batches(FakeResizer, concurrency=concurrency,
+                          batch_size=batch_size, batch_format="pyarrow",
+                          fn_constructor_kwargs={"target_w": target_w,
+                                                 "target_h": target_h})
+
+
+def media_frames(media: pa.Table, n_frames: int = 4, frame_bytes: int = 256,
+                 concurrency: int = 2, batch_size: int = 64) -> ray.data.Dataset:
+    ds = ray.data.from_arrow(media)
+    return ds.map_batches(FrameSampler, concurrency=concurrency,
+                          batch_size=batch_size, batch_format="pyarrow",
+                          fn_constructor_kwargs={"n_frames": n_frames,
+                                                 "frame_bytes": frame_bytes})

@@ -362,6 +362,95 @@ def test_quicksight_issues_csv_and_profiles(tmp_path):
     assert alerts_summary([])["total_alerts"] == 0
 
 
+def test_distinct_search_adapters():
+    """S3/S4 adapter semantics: DDG error-message throttle classification,
+    CSE credential gate + hard cap of 10, direct-crawl unfiltered list."""
+    from game_review_crawler_ray.sources.search import (
+        AdapterThrottled, DirectCrawlAdapter, DuckDuckGoAdapter,
+        GoogleCSEAdapter, SearchManager, SearchCache,
+    )
+
+    pages = [{"url": f"https://a.example.com/p/{i}",
+              "host": "a.example.com",
+              "title": f"버그 제보 {i}" if i % 2 else f"이벤트 {i}",
+              "text": "버그 오류 발생" if i % 2 else "이벤트 공지"}
+             for i in range(30)]
+
+    ddg = DuckDuckGoAdapter(pages, raw_errors=["Ratelimit 429 from upstream"])
+    with pytest.raises(AdapterThrottled):
+        ddg.search(["버그"], "a.example.com")
+    assert ddg.search(["버그"], "a.example.com")  # recovered
+
+    cse = GoogleCSEAdapter(pages)
+    assert not cse.is_available()
+    with pytest.raises(RuntimeError):
+        cse.search(["버그"], "a.example.com")
+    cse = GoogleCSEAdapter(pages, api_key="k", cse_id="c")
+    assert cse.is_available()
+    res = cse.search([], "a.example.com", max_results=25)
+    assert len(res) == 10  # CSE hard cap (adapters.py:236)
+
+    direct = DirectCrawlAdapter(pages)
+    res = direct.search(["존재하지않는키워드"], "a.example.com", max_results=5)
+    assert len(res) == 5  # list crawl ignores keyword containment
+
+    # failover: throttled DDG -> CSE serves, sticky on CSE afterwards
+    mgr = SearchManager(cache=SearchCache(ttl=0), relevance_threshold=0.0)
+    mgr.register_adapter(DuckDuckGoAdapter(pages, raw_errors=["429", "429"]))
+    mgr.register_adapter(GoogleCSEAdapter(pages, api_key="k", cse_id="c"))
+    out = mgr.search(["버그"], "a.example.com")
+    assert out and mgr._current == 1
+
+
+def test_multimodal_resize_and_frames():
+    from game_review_crawler_ray.stages.multimodal import (
+        FrameSampler, gen_media, media_frames, media_resize,
+    )
+
+    media = gen_media(40, seed=7)
+    resized = media_resize(media, target_w=32, target_h=32).take_all()
+    for r in resized:
+        if r["kind"] == "image":
+            assert r["width"] == 32 and r["height"] == 32
+            assert len(r["payload"]) == 32 * 32
+        else:  # audio untouched
+            assert r["sample_rate"] == 16000
+
+    frames = media_frames(media, n_frames=4, frame_bytes=128).take_all()
+    by_media: dict[int, list] = {}
+    for f in frames:
+        by_media.setdefault(f["media_id"], []).append(f)
+    kinds = {r["media_id"]: r["kind"] for r in media.to_pylist()}
+    for mid, fs in by_media.items():
+        idxs = sorted(f["frame_idx"] for f in fs)
+        assert idxs == list(range(len(fs)))
+        if kinds[mid] == "image":
+            assert len(fs) == 1
+        else:
+            assert 1 <= len(fs) <= 4
+            assert all(len(f["frame"]) <= 128 for f in fs)
+    # deterministic across runs
+    frames2 = media_frames(media, n_frames=4, frame_bytes=128).take_all()
+    key = lambda f: (f["media_id"], f["frame_idx"])
+    assert sorted(frames, key=key) == sorted(frames2, key=key)
+
+
+def test_load_exported_posts_tags_sources(tmp_path):
+    from game_review_crawler_ray.pipelines.exports import (
+        load_exported_posts, write_posts_json,
+    )
+
+    posts = ray.data.from_arrow(_posts_table())
+    d1 = write_posts_json(posts, str(tmp_path / "g1"))
+    d2 = write_posts_json(posts, str(tmp_path / "g2"))
+    ds = load_exported_posts({"g1": d1, "g2": d2})
+    rows = ds.take_all()
+    assert len(rows) == 60
+    tags = {r["game_id"] for r in rows}
+    assert tags == {"g1", "g2"}
+    assert all("url" in r for r in rows)
+
+
 # ---------------------------------------------------------------------------
 # DataFilter family (data_filter.py:15-229)
 # ---------------------------------------------------------------------------
