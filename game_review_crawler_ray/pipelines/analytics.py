@@ -491,6 +491,25 @@ ORDER BY date
 """
 
 
+def q_trend_spikes(sf_dir: str) -> pa.Table:
+    """F9 spike points: daily-trend points whose value falls below the
+    threshold (trend_analyzer.py:129-134 ``detect_sentiment_spike``
+    semantics, threshold scaled to the events value domain)."""
+    threshold = 48.0
+    daily = q_trend_daily(sf_dir)
+    return daily.filter(pc.less(daily.column("value"), threshold))
+
+
+SQL_TREND_SPIKES = """
+WITH t AS (
+    SELECT date_trunc('day', ts) AS date, ROUND(avg(value), 6) AS value,
+           count(*) AS count
+    FROM events GROUP BY 1
+)
+SELECT date, value, count FROM t WHERE value < 48.0 ORDER BY date
+"""
+
+
 def q_period_comparison(sf_dir: str) -> pa.Table:
     """A9: avg of two date windows + delta (trend_analyzer.py:178-204)."""
     ds = _events(sf_dir, columns=["ts", "value"])
@@ -737,6 +756,7 @@ QUERIES = {
     "trend_weekly": q_trend_weekly,
     "trend_summary": q_trend_summary,
     "trend_changes": q_trend_changes,
+    "trend_spikes": q_trend_spikes,
     "period_comparison": q_period_comparison,
     "filter_docs": q_filter_docs,
     "sort_docs_top20": q_sort_docs_top20,
@@ -759,6 +779,7 @@ ORACLE_SQL = {
     "trend_weekly": SQL_TREND_WEEKLY,
     "trend_summary": SQL_TREND_SUMMARY,
     "trend_changes": SQL_TREND_CHANGES,
+    "trend_spikes": SQL_TREND_SPIKES,
     "period_comparison": SQL_PERIOD_COMPARISON,
     "filter_docs": SQL_FILTER_DOCS,
     "sort_docs_top20": SQL_SORT_DOCS_TOP20,
