@@ -119,10 +119,15 @@ def severity_from_metrics(post_count: int, sentiment_avg: float,
 # ---------------------------------------------------------------------------
 
 class _PostScore:
-    """Per-post pass: sentiment (title-weighted), bug flag, comment count."""
+    """Per-post enrich pass: sentiment (title-weighted), bug flag, comment
+    count AND the per-post top-100 keyword list — computed ONCE, so the
+    downstream keyword-count / cluster-membership passes never re-tokenize
+    (tokenization dominates the tier's CPU)."""
 
-    def __init__(self):
+    def __init__(self, with_tokens: bool = False, n_keep: int = 100):
         self.scorer = SentimentScorer(pos=POSITIVE_KO, neg=NEGATIVE_KO)
+        self.with_tokens = with_tokens
+        self.n_keep = n_keep
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         title = batch["title"].fillna("")
@@ -133,7 +138,7 @@ class _PostScore:
         is_bug = np.zeros(len(batch), dtype=bool)
         for w in BUG_KEYWORDS:
             is_bug |= text_lower.str.contains(w, regex=False).values
-        return pd.DataFrame({
+        out = pd.DataFrame({
             "url": batch["url"].values,
             "title": title.values,
             "site": batch["site"].values,
@@ -146,6 +151,15 @@ class _PostScore:
             "score": scored["score"].values,
             "is_bug": is_bug,
         })
+        if self.with_tokens:
+            toks = []
+            for t, b, comments in zip(title, body, batch["comments"]):
+                clist = comments if comments is not None else []
+                text = combined_post_text(t or "", b or "",
+                                          [c["content"] for c in clist])
+                toks.append(extract_keywords_from_text(text, top_n=self.n_keep))
+            out["tokens"] = toks
+        return out
 
 
 def _post_keywords_stage(_unused=None, n_keep: int = 100):
@@ -203,7 +217,8 @@ def _global_stats_partial(batch: pd.DataFrame) -> pd.DataFrame:
 
 class _ClusterPartials:
     """Per-block per-cluster partial stats (issue_detector.py:170-207,464-474
-    semantics, distributed).
+    semantics, distributed) over the ENRICHED posts (score + top-100 token
+    list precomputed by _PostScore — no re-tokenize, no re-score).
 
     Distinct (cluster, url) membership is exact across blocks because each
     url lives in exactly one block. Emits <= n_clusters rows per block:
@@ -212,28 +227,19 @@ class _ClusterPartials:
     deterministic smallest-url prefix).
     """
 
-    def __init__(self, top_ref, kw_cluster_ref, cutoff, n_keep: int = 100,
+    def __init__(self, top_ref, kw_cluster_ref, cutoff,
                  cap: int = RELATED_POSTS_CAP):
         self.top = ray.get(top_ref)
         self.kw_cluster = ray.get(kw_cluster_ref)
         self.cutoff = cutoff
-        self.n_keep = n_keep
         self.cap = cap
-        self.scorer = SentimentScorer(pos=POSITIVE_KO, neg=NEGATIVE_KO)
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        title = batch["title"].fillna("")
-        body = batch["body"].fillna("")
-        scores = self.scorer.score_frame(title + " " + title + " " + body)[
-            "score"].to_numpy()
         acc: dict[str, list] = {}
-        for i, (url, t, b, comments, views, ts) in enumerate(zip(
-                batch["url"], title, body, batch["comments"],
-                batch["view_count"], batch["created_at"])):
-            clist = comments if comments is not None else []
-            text = combined_post_text(t or "", b or "",
-                                      [c["content"] for c in clist])
-            kws = set(extract_keywords_from_text(text, top_n=self.n_keep)) & self.top
+        for url, toks, views, n_com, score, ts in zip(
+                batch["url"], batch["tokens"], batch["view_count"],
+                batch["n_comments"], batch["score"], batch["created_at"]):
+            kws = set(toks) & self.top
             cids = {self.kw_cluster[k] for k in kws}
             for cid in cids:
                 a = acc.get(cid)
@@ -241,8 +247,8 @@ class _ClusterPartials:
                     a = acc[cid] = [0, 0, 0, 0.0, None, 0, []]
                 a[0] += 1
                 a[1] += int(views)
-                a[2] += len(clist)
-                a[3] += float(scores[i])
+                a[2] += int(n_com)
+                a[3] += float(score)
                 if ts is not None and not pd.isna(ts):
                     a[4] = ts if a[4] is None else min(a[4], ts)
                     if self.cutoff is not None and ts >= self.cutoff:
@@ -258,6 +264,17 @@ class _ClusterPartials:
         return pd.DataFrame(rows, columns=["cluster_id", "n_posts", "views",
                                            "comments", "sum_score", "min_ts",
                                            "n_urgent", "urls"])
+
+
+def _token_presence_partial(batch: pd.DataFrame) -> pd.DataFrame:
+    """Per-block presence counts over the precomputed per-post token lists
+    (each list is unique tokens, so update == post-level presence)."""
+    counts: Counter = Counter()
+    for toks in batch["tokens"]:
+        counts.update(toks)
+    return pd.DataFrame({"token": list(counts.keys()),
+                         "n": np.fromiter(counts.values(), np.int64,
+                                          len(counts))})
 
 
 def _hot_partial_fn(maxes_ref, k: int = 20):
@@ -282,21 +299,24 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
 
     Distribution shape (nothing post-sized ever lands on the driver):
 
-    1. scored = posts -> _PostScore map_batches, materialized in the OBJECT
-       STORE (spillable), consumed twice (global partials, hot-post top-k).
+    1. scored = posts -> _PostScore(with_tokens) map_batches, materialized
+       in the OBJECT STORE (spillable): score, metadata AND the per-post
+       top-100 token list, computed once (tokenization dominates the
+       tier's CPU) and consumed by every later pass.
     2. global scalars (counts/sums/maxes/max_ts) via per-block partials +
        a one-row driver combine.
-    3. top keywords via partial counts (existing combiner pass); greedy
-       clustering of the <=50 keywords on the driver (order-dependent by
-       spec, SURVEY.md §7.3).
+    3. top keywords via partial presence counts over the token lists;
+       greedy clustering of the <=50 keywords on the driver
+       (order-dependent by spec, SURVEY.md §7.3).
     4. per-cluster stats + capped related-post urls via broadcast
        keyword->cluster map and per-block partials (<= n_clusters rows per
        block), merged on the driver.
     5. hot posts via per-block top-20 partials (global maxes broadcast)
        merged on the driver.
     """
-    scored = posts.map_batches(_PostScore, concurrency=(2, 8),
-                               batch_format="pandas").materialize()
+    scored = posts.map_batches(
+        _PostScore, concurrency=(2, 8), batch_format="pandas",
+        fn_constructor_kwargs={"with_tokens": True}).materialize()
 
     # --- pass 1: global scalars (A1/A2 + maxes + max_ts) ---
     gparts = [t for t in ray.get(
@@ -316,7 +336,15 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
     max_ts = g["max_ts"].max()
 
     # --- keywords + clusters (driver-side over <=50 rows by design) ---
-    kws = top_keywords(posts, top_n_keywords)
+    part = scored.map_batches(_token_presence_partial, batch_format="pandas")
+    merged: Counter = Counter()
+    for t in ray.get(part.to_arrow_refs()):
+        if t.num_rows:
+            for tok, n in zip(t.column("token").to_pylist(),
+                              t.column("n").to_pylist()):
+                merged[tok] += n
+    ordered = sorted(merged.items(), key=lambda kv: (-kv[1], kv[0]))
+    kws = [k for k, _ in ordered[:top_n_keywords]]
     clusters = cluster_keywords(kws)
     kw_cluster = {}
     for c in clusters:
@@ -324,8 +352,8 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
             kw_cluster[k] = c["cluster_id"]
     urgent_cut = max_ts - timedelta(hours=urgent_hours) if pd.notna(max_ts) else None
 
-    # --- pass 2: per-cluster partials ---
-    cparts_ds = posts.map_batches(
+    # --- pass 2: per-cluster partials over the enriched posts ---
+    cparts_ds = scored.map_batches(
         _ClusterPartials, concurrency=(2, 8), batch_format="pandas",
         fn_constructor_kwargs={"top_ref": ray.put(set(kws)),
                                "kw_cluster_ref": ray.put(kw_cluster),
