@@ -42,7 +42,12 @@ def round6(x: np.ndarray | float):
 
 def _collect(ds: ray.data.Dataset) -> pa.Table:
     """Materialize a (small) Dataset result to one Arrow table, skipping the
-    empty schema-less blocks that pandas-block aggregates can emit."""
+    empty schema-less blocks that pandas-block aggregates can emit.
+
+    ``materialize()`` first: ``to_arrow_refs`` on a lazy plan that contains
+    an AllToAll op (sort-based groupby) re-executes the whole plan; the
+    materialized handle hands back its block refs without re-running."""
+    ds = ds.materialize()
     tables = []
     for blk in ray.get(ds.to_arrow_refs()):
         if isinstance(blk, pd.DataFrame):  # some paths leave pandas blocks
