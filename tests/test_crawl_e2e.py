@@ -146,3 +146,36 @@ def test_kill_and_resume(tmp_path, corpus):
     full = _read_posts(res_full)
     assert set(r["url"] for r in posts_all.to_pylist()) == \
         set(r["url"] for r in full.to_pylist())
+
+
+def test_load_fetch_log_resolution_is_file_order_independent(tmp_path):
+    """Duplicate url_norm rows resolve by max (grant_seq, fetch_ts), not by
+    lineage-file enumeration order (uuid filenames sort randomly)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from game_review_crawler_ray.state.frontier import FETCH_LOG_SCHEMA
+
+    def row(status, grant_seq, ts_s):
+        return {
+            "url": "https://h/p", "url_norm": "https://h/p", "host": "h",
+            "fetch_ts": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=ts_s),
+            "status": status, "attempt": 1, "wait_s": 0.0,
+            "grant_seq": grant_seq, "discovered_seq": 0, "partition_id": 0,
+        }
+
+    log_dir = tmp_path / "fetch_log"
+    log_dir.mkdir()
+    # the LATER grant (seq 5, ok) lives in the file that sorts FIRST; the
+    # stale row (seq 1) sorts last — file-order last-wins would pick seq 1
+    pq.write_table(pa.Table.from_pylist([row("ok", 5, 10.0)],
+                                        schema=FETCH_LOG_SCHEMA),
+                   log_dir / "aaa.parquet")
+    pq.write_table(pa.Table.from_pylist([row("retry_pending", 1, 3.0)],
+                                        schema=FETCH_LOG_SCHEMA),
+                   log_dir / "zzz.parquet")
+    log = load_fetch_log(str(tmp_path)).to_pylist()
+    assert len(log) == 1
+    assert log[0]["grant_seq"] == 5 and log[0]["status"] == "ok"

@@ -142,6 +142,22 @@ def test_bloom_seen_no_false_negatives():
     assert f1.tolist() == [True, True, False]
 
 
+def test_bloom_vectorized_matches_exact():
+    """Batched add_if_new == ExactSeen over streams with in-batch and
+    cross-batch duplicates (realistic 64-bit hash keys, fpp tight enough
+    that no false positive is expected at this scale)."""
+    rng = np.random.default_rng(0)
+    pool = rng.integers(0, 2**64, size=5000, dtype=np.uint64)
+    b = BloomSeen(capacity=10_000, fpp=1e-6)
+    e = ExactSeen()
+    for _ in range(20):
+        batch = pool[rng.integers(0, len(pool), size=200)]
+        mb = b.add_if_new(batch.copy())
+        me = e.add_if_new(batch.copy())
+        assert (mb == me).all()
+    assert b.add_if_new(np.array([], dtype=np.uint64)).shape == (0,)
+
+
 def test_denied_log_and_flush(tmp_path):
     """The shard logs only DENIED rows (robots/suspended); granted-row
     lineage is written by the pipeline's write_log stage."""
