@@ -744,6 +744,35 @@ GROUP BY n.n_name ORDER BY n.n_name
 """
 
 
+def q_docs_join_embeddings(sf_dir: str) -> pa.Table:
+    """Distributed HASH JOIN (both sides partitioned — the big⋈big shape,
+    unlike the broadcast lookups used when one side is small): documents
+    ⋈ embeddings on doc_id == vec_id via ``Dataset.join``."""
+    docs = _docs(sf_dir, columns=["doc_id", "lang", "n_chars"])
+    embs = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "label"])
+    joined = docs.join(embs, join_type="inner", num_partitions=8,
+                       on=("doc_id",), right_on=("vec_id",))
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "lang": batch.column("lang"),
+            "n_chars": batch.column("n_chars"),
+            "label": pc.cast(batch.column("label"), pa.int64()),
+        })
+
+    return _collect(joined.map_batches(proj, batch_format="pyarrow")
+                    ).sort_by("doc_id")
+
+
+SQL_DOCS_JOIN_EMBEDDINGS = """
+SELECT d.doc_id, d.lang, d.n_chars, CAST(e.label AS BIGINT) AS label
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -769,6 +798,7 @@ QUERIES = {
     "urgent_window": q_urgent_window,
     "site_stats": q_site_stats,
     "events_per_nation": q_events_per_nation,
+    "docs_join_embeddings": q_docs_join_embeddings,
 }
 
 ORACLE_SQL = {
@@ -792,4 +822,5 @@ ORACLE_SQL = {
     "urgent_window": SQL_URGENT_WINDOW,
     "site_stats": SQL_SITE_STATS,
     "events_per_nation": SQL_EVENTS_PER_NATION,
+    "docs_join_embeddings": SQL_DOCS_JOIN_EMBEDDINGS,
 }
