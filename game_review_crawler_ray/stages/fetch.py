@@ -18,6 +18,8 @@ path that simulates HTTP 429s against the frontier's backoff state machine.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pyarrow as pa
 import ray
@@ -219,13 +221,72 @@ def make_corpus_fetch_fn(corpus_ref, index_ref, frontier_handles, num_shards,
     return fetch
 
 
+# browser UA pool — conformance contract with content_crawler.py:32-38
+USER_AGENTS = [
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/119.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+    "Mozilla/5.0 (Windows NT 10.0; Win64; x64; rv:121.0) Gecko/20100101 Firefox/121.0",
+    "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.2 Safari/605.1.15",
+]
+
+
+class UARotator:
+    """M13: per-request User-Agent rotation (content_crawler.py:97-103,133).
+
+    The reference draws with unseeded ``random.choice``; the engine seeds
+    the stream so a resumed run replays identical headers (same
+    reproducibility policy as the frontier's jitter)."""
+
+    def __init__(self, agents: list[str] | None = None, seed: int = 42):
+        import random as _random
+
+        self.agents = list(agents or USER_AGENTS)
+        self._rng = _random.Random(seed)
+
+    def next(self) -> str:
+        return self._rng.choice(self.agents)
+
+
+_CHARSET_RE = re.compile(rb"charset=[\"']?([a-zA-Z0-9_\-]+)")
+
+
+def sniff_charset(raw: bytes) -> str | None:
+    """Meta-tag charset sniff over the document head (the offline half of
+    requests' ``apparent_encoding``)."""
+    m = _CHARSET_RE.search(raw[:2048])
+    return m.group(1).decode("ascii", "ignore").lower() if m else None
+
+
+def decode_html(raw: bytes, content_type: str | None = None) -> str:
+    """M14 encoding normalization (content_crawler.py:159-166 order):
+    Content-Type charset first, then the sniffed/apparent encoding, then
+    utf-8; a page that defeats all of them decodes with replacement
+    rather than failing the task."""
+    tried: list[str] = []
+    if content_type and "charset=" in content_type:
+        tried.append(content_type.split("charset=")[-1].split(";")[0].strip())
+    sniffed = sniff_charset(raw)
+    if sniffed:
+        tried.append(sniffed)
+    tried += ["utf-8", "cp949"]
+    for enc in tried:
+        try:
+            return raw.decode(enc)
+        except (LookupError, UnicodeDecodeError):
+            continue
+    return raw.decode("utf-8", errors="replace")
+
+
 class HttpFetcher:
     """Live-network fetcher stub (no network in this sandbox).
 
-    Would replicate the reference's session keep-alive, UA rotation,
-    charset sniffing and timeout behavior (content_crawler.py:32-178)
-    inside a map_batches actor pool; the Ray-side plumbing (signature,
-    batch schema, frontier integration) is identical to CorpusFetcher.
+    The network-independent pieces are REAL and tested — ``UARotator``
+    (per-request UA header) and ``decode_html`` (charset normalization,
+    shared with the parse stage); this class would add the session
+    keep-alive, timeouts and HTTP status handling
+    (content_crawler.py:60-178) inside a map_batches actor pool with the
+    same signature and frontier integration as CorpusFetcher.
     """
 
     def __init__(self, *a, **kw):

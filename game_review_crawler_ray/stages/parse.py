@@ -17,6 +17,7 @@ import pyarrow as pa
 
 from ..functions.parsers import ParseFailure, ParserRegistry, parse_page
 from ..sources.corpus import COMMENT_TYPE
+from .fetch import decode_html
 
 POST_COLUMNS = [
     ("title", pa.string()),
@@ -71,10 +72,10 @@ def _parse_with(registry: ParserRegistry, batch: pa.Table) -> pa.Table:
             out_status.append(statuses[i])
         else:
             try:
-                # a non-UTF-8 page is a parse failure for THAT row, never a
-                # task failure (the HttpFetcher swap-in may deliver any
-                # charset; the reference sniffs, content_crawler.py:120-148)
-                rec = parse_page(htmls[i].decode("utf-8"), urls[i], kws[i],
+                # charset-normalized decode (meta sniff -> utf-8 -> cp949
+                # -> replacement; fetch.decode_html) — a hostile page is a
+                # parse failure for THAT row, never a task failure
+                rec = parse_page(decode_html(htmls[i]), urls[i], kws[i],
                                  registry=registry)
                 out_status.append("ok")
             except (ParseFailure, UnicodeDecodeError):

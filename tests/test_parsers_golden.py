@@ -191,3 +191,42 @@ def test_corpus_conformance_byte_identical():
         assert rec["comments"] == exp["comments"], url
         checked += 1
     assert checked > 500
+
+
+def test_charset_normalized_parse_cp949():
+    """M14: a cp949/euc-kr page parses to the identical record as its
+    utf-8 twin (meta-charset sniff -> decode -> byte-identical extraction)."""
+    from game_review_crawler_ray.sources.corpus import gen_pages
+    from game_review_crawler_ray.stages.fetch import decode_html
+
+    pages, expected = gen_pages(50, n_hosts=6, seed=77)
+    reg = ParserRegistry()
+    checked = 0
+    for i in range(pages.num_rows):
+        url = pages.column("url")[i].as_py()
+        if expected[url] is None:
+            continue
+        html = pages.column("html")[i].as_py().decode("utf-8")
+        try:
+            cp949 = html.replace("charset='utf-8'", "charset='euc-kr'") \
+                        .encode("cp949")
+        except UnicodeEncodeError:
+            continue  # rare chars outside cp949 — skip
+        rec_utf8 = parse_page(html, url, registry=reg)
+        rec_kr = parse_page(decode_html(cp949), url, registry=reg)
+        assert rec_kr["body"] == rec_utf8["body"]
+        assert rec_kr["title"] == rec_utf8["title"]
+        assert rec_kr["comments"] == rec_utf8["comments"]
+        checked += 1
+    assert checked >= 20
+
+
+def test_ua_rotation_deterministic_from_pool():
+    from game_review_crawler_ray.stages.fetch import UARotator, USER_AGENTS
+
+    r = UARotator(seed=3)
+    seq = [r.next() for _ in range(20)]
+    assert set(seq) <= set(USER_AGENTS)
+    assert len(set(seq)) > 1                      # actually rotates
+    r2 = UARotator(seed=3)
+    assert seq == [r2.next() for _ in range(20)]  # replayable
