@@ -1,11 +1,18 @@
 """Hashing kernels for near-duplicate detection: shingles, MinHash,
-SimHash, rolling (Karp–Rabin) fingerprints. Pure numpy, vectorized per
-document; no Ray imports.
+SimHash, rolling (Karp–Rabin) fingerprints. Pure numpy + a vectorized
+string-hash primitive; no Ray imports.
 
 These back the training-data dedup operators (MinHash+LSH banding,
 SimHash hamming buckets, n-gram Jaccard verification) — new capabilities
 beyond the reference (SURVEY.md §2.7 notes near-dedup is ABSENT there).
 All hash seeds are fixed so runs are deterministic.
+
+Word hashing is the dominant dedup cost (round-2 bench: per-shingle
+blake2 in a Python loop dominated ``dedup_minhash``), so the primitive is
+polars' xxhash over a whole token column at once — deterministic across
+processes for a fixed seed + polars version; the values are internal LSH
+keys, never a persisted contract. Without polars the memoized-blake2
+fallback produces a different (equally valid) LSH family.
 """
 
 from __future__ import annotations
@@ -14,32 +21,86 @@ import hashlib
 
 import numpy as np
 
+try:
+    import polars as _pl
+except ImportError:  # pragma: no cover - polars is baked into the image
+    _pl = None
+
 MERSENNE61 = np.uint64((1 << 61) - 1)
 _N_PERM = 64
 _BANDS = 8
 _ROWS_PER_BAND = _N_PERM // _BANDS
+_HASH_SEED = 0x5EED
 
 _rng = np.random.default_rng(0x5EED)
 # a*x32 + b stays < 2^64 for a < 2^29, x32 < 2^32, b < 2^61
 _A = _rng.integers(1, 1 << 29, _N_PERM, dtype=np.uint64)
 _B = _rng.integers(0, 1 << 29, _N_PERM, dtype=np.uint64)
 
+# position multipliers for order-sensitive shingle folds (odd constants)
+_POS_MULT = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5,
+                      0x85EBCA77C2B2AE63, 0x2545F4914F6CDD1D,
+                      0xFF51AFD7ED558CCD, 0xC4CEB9FE1A85EC53],
+                     dtype=np.uint64)
+
+_BIT_IDX = np.arange(64, dtype=np.uint64)
+
 
 def stable_hash64(s: str) -> int:
     return int.from_bytes(hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big")
 
 
+_word_memo: dict[str, int] = {}
+
+
+def hash_words_u64(words: list[str]) -> np.ndarray:
+    """Stable 64-bit hashes for a token list, one vectorized call."""
+    if not words:
+        return np.empty(0, dtype=np.uint64)
+    if _pl is not None:
+        return _pl.Series(words, dtype=_pl.String).hash(seed=_HASH_SEED).to_numpy()
+    out = np.empty(len(words), dtype=np.uint64)
+    for i, w in enumerate(words):
+        h = _word_memo.get(w)
+        if h is None:
+            if len(_word_memo) > (1 << 20):  # bound the vocabulary cache
+                _word_memo.clear()
+            h = _word_memo[w] = stable_hash64(w)
+        out[i] = h
+    return out
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer (vectorized; uint64 wraps by numpy semantics)."""
+    x = np.asarray(x, dtype=np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def shingle_hashes(word_hashes: np.ndarray, k: int = 3) -> np.ndarray:
+    """32-bit k-word shingle hashes from per-word hashes: position-keyed
+    multiply-xor fold over sliding windows (views, no copies) + splitmix64
+    finalizer. Order-sensitive ("a b c" != "c b a"); < k words collapse to
+    one whole-document shingle (same contract as the string join did)."""
+    wh = np.asarray(word_hashes, dtype=np.uint64)
+    n = len(wh)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        acc = np.bitwise_xor.reduce(wh * _POS_MULT[:n])
+        return _mix64(np.array([acc], dtype=np.uint64)) & np.uint64(0xFFFFFFFF)
+    m = n - k + 1
+    acc = wh[0:m] * _POS_MULT[0]
+    for j in range(1, k):
+        acc = acc ^ (wh[j:j + m] * _POS_MULT[j % len(_POS_MULT)])
+    return _mix64(acc) & np.uint64(0xFFFFFFFF)
+
+
 def word_shingles(text: str, k: int = 3) -> np.ndarray:
     """32-bit hashes of k-word shingles (lowercased whitespace tokens)."""
-    words = text.lower().split()
-    if len(words) < k:
-        shingles = [" ".join(words)] if words else []
-    else:
-        shingles = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, sh in enumerate(shingles):
-        out[i] = stable_hash64(sh) & 0xFFFFFFFF
-    return out
+    return shingle_hashes(hash_words_u64(text.lower().split()), k)
 
 
 def char_ngrams(text: str, n: int = 3) -> set[str]:
@@ -66,31 +127,39 @@ def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
     return vals.min(axis=1)
 
 
+_BAND_SALT = _mix64(np.arange(_BANDS, dtype=np.uint64) + np.uint64(1))
+
+
 def minhash_bands(sig: np.ndarray) -> list[int]:
-    """LSH band keys: one 64-bit hash per band of the signature."""
-    out = []
-    for b in range(_BANDS):
-        chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-        out.append(stable_hash64(chunk.tobytes().hex()) & 0x7FFFFFFFFFFFFFFF)
-    return out
+    """LSH band keys: one 63-bit key per band, vectorized (multiply-xor
+    fold of the band's 8 signature values, salted by band index so equal
+    chunk contents in different bands land in different buckets)."""
+    chunks = np.asarray(sig, dtype=np.uint64).reshape(_BANDS, _ROWS_PER_BAND)
+    acc = np.bitwise_xor.reduce(chunks * _POS_MULT[None, :_ROWS_PER_BAND],
+                                axis=1) ^ _BAND_SALT
+    keys = _mix64(acc) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    return [int(x) for x in keys]
 
 
 def estimate_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
     return float((sig_a == sig_b).mean())
 
 
+def simhash64_from_hashes(word_hashes: np.ndarray) -> int:
+    """64-bit SimHash from per-word hashes (count-weighted bit votes),
+    vectorized: (n_words, 64) bit matrix -> column vote sums."""
+    wh = np.asarray(word_hashes, dtype=np.uint64)
+    if len(wh) == 0:
+        return 0
+    bits = ((wh[:, None] >> _BIT_IDX[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = 2 * bits.sum(axis=0) - len(wh)
+    return int(np.bitwise_or.reduce(
+        (votes > 0).astype(np.uint64) << _BIT_IDX))
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash over whitespace tokens (count-weighted bit votes)."""
-    votes = np.zeros(64, dtype=np.int64)
-    for w in text.lower().split():
-        h = stable_hash64(w)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        votes += np.where(bits == 1, 1, -1)
-    out = 0
-    for i in range(64):
-        if votes[i] > 0:
-            out |= 1 << i
-    return out
+    return simhash64_from_hashes(hash_words_u64(text.lower().split()))
 
 
 def hamming64(a: int, b: int) -> int:

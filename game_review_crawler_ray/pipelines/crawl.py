@@ -345,10 +345,13 @@ def preload_from_checkpoint(frontier, out_dir: str, num_shards: int) -> int:
 
 
 def load_fetch_log(out_dir: str) -> pa.Table:
-    """Concatenate the per-shard lineage files; duplicate rows per url_norm
-    (task retries, corrective late-status rows) are resolved by an explicit
-    monotonic key — max (grant_seq, fetch_ts) wins — so the result does not
-    depend on file enumeration order."""
+    """TEST-SCALE helper: concatenate the per-shard lineage files into one
+    driver table; duplicate rows per url_norm (task retries, corrective
+    late-status rows) are resolved by an explicit monotonic key — max
+    (grant_seq, fetch_ts) wins — so the result does not depend on file
+    enumeration order. Production paths never gather the log: resume
+    streams it (``preload_from_checkpoint``) and the politeness query
+    aggregates it per-host in Ray Data (``textops.q_politeness_summary``)."""
     files = sorted(glob.glob(os.path.join(out_dir, "fetch_log", "*.parquet")))
     if not files:
         from ..state.frontier import FETCH_LOG_SCHEMA

@@ -656,8 +656,56 @@ def q_detected_issues(sf_dir: str) -> pa.Table:
     return t.drop_columns(["keywords"]) if "keywords" in t.column_names else t
 
 
+def hot_posts_direct(posts: ray.data.Dataset, k_cap: int = 20) -> pa.Table:
+    """K4 hot posts without the analysis tier: score pass WITHOUT
+    tokenization (the hot-score formula needs only sentiment + maxes;
+    issue_detector.py:664-791), per-block scalar partials for the global
+    maxes, per-block top-k partials, tiny driver merge. Identical rows to
+    ``analyze_posts(...)['hot_posts']`` (same formula, same tie-break) at
+    a fraction of the cost — tokenizing every post for this query was the
+    single slowest bench row in round 2."""
+    scored = posts.map_batches(
+        _PostScore, concurrency=(2, 8), batch_format="pandas",
+        fn_constructor_kwargs={"with_tokens": False}).materialize()
+    gparts = [t for t in ray.get(
+        scored.map_batches(_global_stats_partial, batch_format="pandas")
+        .to_arrow_refs()) if t.num_rows]
+    if not gparts:
+        return pa.table({})
+    g = pa.concat_tables(gparts).to_pandas()
+    n_posts = int(g["n"].sum())
+    max_views = max(int(g["max_views"].max()), 1)
+    max_comments = max(int(g["max_comments"].max()), 1)
+    k = min(max(1, int(n_posts * 0.1)), k_cap, n_posts)
+    maxes_ref = ray.put((max_views, max_comments))
+    hparts = [t.to_pandas() for t in ray.get(
+        scored.map_batches(_hot_partial_fn(maxes_ref, k=k_cap),
+                           batch_format="pandas")
+        .to_arrow_refs()) if t.num_rows]
+    hp = pd.concat(hparts).sort_values(["hot_score", "url"],
+                                       ascending=[False, True])
+    hot = hp.head(k)[["url", "title", "site", "author", "created_at",
+                      "view_count", "n_comments", "like_count",
+                      "hot_score", "score", "is_bug"]]
+    return pa.Table.from_pandas(hot.reset_index(drop=True),
+                                preserve_index=False)
+
+
 def q_hot_posts(sf_dir: str) -> pa.Table:
-    return _analysis_for(sf_dir)["hot_posts"]
+    import os
+
+    from .textops import _crawl_out
+
+    # reuse a full analysis if one already ran this session; else the
+    # direct path (no tokenization — 4x cheaper than the analysis tier)
+    if sf_dir in _ANALYSIS_CACHE:
+        return _ANALYSIS_CACHE[sf_dir]["hot_posts"]
+    out = _crawl_out(sf_dir)
+    posts = ray.data.read_parquet(
+        os.path.join(out, "posts"),
+        columns=["url", "title", "body", "site", "author", "created_at",
+                 "view_count", "like_count", "comments"])
+    return hot_posts_direct(posts)
 
 
 def q_analysis_summary(sf_dir: str) -> pa.Table:

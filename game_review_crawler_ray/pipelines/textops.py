@@ -16,6 +16,7 @@ logged (no silent truncation).
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import re
 
@@ -68,10 +69,17 @@ FROM documents GROUP BY md5(text) ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 def _minhash_stage(batch: pd.DataFrame) -> pd.DataFrame:
-    """doc -> 8 band rows (doc_id, band_key, sig bytes)."""
+    """doc -> 8 band rows (doc_id, band_key, sig bytes). All words in the
+    batch are hashed in ONE vectorized call (the per-shingle Python blake2
+    loop dominated round-2's dedup cost); per-doc work is numpy only."""
+    doc_words = [t.lower().split() for t in batch["text"]]
+    flat = [w for ws in doc_words for w in ws]
+    wh = H.hash_words_u64(flat)
+    offs = np.concatenate(([0], np.cumsum([len(ws) for ws in doc_words],
+                                          dtype=np.int64)))
     rows_id, rows_key, rows_sig = [], [], []
-    for doc_id, text in zip(batch["doc_id"], batch["text"]):
-        sig = H.minhash_signature(H.word_shingles(text))
+    for i, doc_id in enumerate(batch["doc_id"]):
+        sig = H.minhash_signature(H.shingle_hashes(wh[offs[i]:offs[i + 1]]))
         sig_bytes = sig.tobytes()
         for key in H.minhash_bands(sig):
             rows_id.append(doc_id)
@@ -105,20 +113,38 @@ def _bucket_pairs(group: pa.Table, est_threshold: float) -> pa.Table:
                                              pa.float64())})
 
 
+def _dedup_pairs_distributed(pairs: ray.data.Dataset,
+                             schema: dict[str, pa.DataType]) -> pa.Table:
+    """Cross-band pair dedup as a keyed ``groupby((doc_a, doc_b))`` —
+    a pair can fire in several bands, and the per-pair value (est/hamming/
+    sim) is identical in every firing because it is recomputed from the
+    same full signature, so keeping any one row per key is exact. Keyed
+    shuffle, not driver pandas: a skewed corpus at 100 TB can emit pair
+    sets far beyond driver RAM; after this stage the driver only ever sees
+    the deduped result (the query output itself)."""
+    keys = list(schema.keys())[:2]
+
+    def first(g: pa.Table) -> pa.Table:
+        return g.slice(0, 1)
+
+    tbl = _collect(pairs.groupby(keys).map_groups(first,
+                                                  batch_format="pyarrow"))
+    if tbl.num_rows == 0:
+        return pa.table({k: pa.array([], t) for k, t in schema.items()})
+    return tbl.select(list(schema.keys())).sort_by(
+        [(k, "ascending") for k in keys])
+
+
 def minhash_candidate_pairs(ds: ray.data.Dataset, est_threshold: float = 0.7) -> pa.Table:
     """shingle -> minhash -> band -> bucket groupby -> in-bucket pairs,
-    deduped across bands (a pair can fire in several bands)."""
+    deduped across bands with a second keyed groupby (a pair can fire in
+    several bands)."""
     bands = ds.map_batches(_minhash_stage, batch_format="pandas")
     pairs = bands.groupby("band_key").map_groups(
         lambda g: _bucket_pairs(g, est_threshold), batch_format="pyarrow")
-    tbl = _collect(pairs)
-    if tbl.num_rows == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "est_jaccard": pa.array([], pa.float64())})
-    df = tbl.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
-    df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _dedup_pairs_distributed(
+        pairs, {"doc_a": pa.int64(), "doc_b": pa.int64(),
+                "est_jaccard": pa.float64()})
 
 
 def q_dedup_minhash(sf_dir: str) -> pa.Table:
@@ -167,9 +193,14 @@ def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
 
 def simhash_pairs(ds: ray.data.Dataset, max_hamming: int = 3) -> pa.Table:
     def stage(batch: pd.DataFrame) -> pd.DataFrame:
+        doc_words = [t.lower().split() for t in batch["text"]]
+        flat = [w for ws in doc_words for w in ws]
+        wh = H.hash_words_u64(flat)
+        offs = np.concatenate(([0], np.cumsum([len(ws) for ws in doc_words],
+                                              dtype=np.int64)))
         ids, keys, hashes = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            h = H.simhash64(text)
+        for i, doc_id in enumerate(batch["doc_id"]):
+            h = H.simhash64_from_hashes(wh[offs[i]:offs[i + 1]])
             for key in H.simhash_chunks(h):
                 ids.append(doc_id)
                 keys.append(key)
@@ -203,14 +234,9 @@ def simhash_pairs(ds: ray.data.Dataset, max_hamming: int = 3) -> pa.Table:
 
     rowsed = ds.map_batches(stage, batch_format="pandas")
     pairs = rowsed.groupby("chunk_key").map_groups(bucket, batch_format="pyarrow")
-    tbl = _collect(pairs)
-    if tbl.num_rows == 0:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "hamming": pa.array([], pa.int64())})
-    df = tbl.to_pandas().drop_duplicates(subset=["doc_a", "doc_b"])
-    df = df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return _dedup_pairs_distributed(
+        pairs, {"doc_a": pa.int64(), "doc_b": pa.int64(),
+                "hamming": pa.int64()})
 
 
 def q_dedup_simhash(sf_dir: str) -> pa.Table:
@@ -318,16 +344,14 @@ def embedding_neardup_pairs(ds: ray.data.Dataset,
                            batch_format="pyarrow")
     pairs = bands.groupby("band_key").map_groups(
         lambda g: _emb_bucket_pairs(g, threshold), batch_format="pyarrow")
-    tbl = _collect(pairs)
-    if tbl.num_rows == 0:
-        return pa.table({"vec_a": pa.array([], pa.int64()),
-                         "vec_b": pa.array([], pa.int64()),
-                         "sim": pa.array([], pa.float64())})
-    df = tbl.to_pandas().drop_duplicates(subset=["doc_pair_a", "doc_pair_b"])
-    df = df.sort_values(["doc_pair_a", "doc_pair_b"]).reset_index(drop=True)
-    return pa.table({"vec_a": pa.array(df["doc_pair_a"].to_numpy(), pa.int64()),
-                     "vec_b": pa.array(df["doc_pair_b"].to_numpy(), pa.int64()),
-                     "sim": pa.array(round6(df["sim"].to_numpy()), pa.float64())})
+    tbl = _dedup_pairs_distributed(
+        pairs, {"doc_pair_a": pa.int64(), "doc_pair_b": pa.int64(),
+                "sim": pa.float64()})
+    return pa.table({"vec_a": tbl.column("doc_pair_a"),
+                     "vec_b": tbl.column("doc_pair_b"),
+                     "sim": pa.array(round6(
+                         tbl.column("sim").to_numpy(zero_copy_only=False)),
+                         pa.float64())})
 
 
 def embedding_neardup_brute(ds: ray.data.Dataset, full_tbl: pa.Table,
@@ -527,31 +551,23 @@ FROM ranked WHERE rn <= 5 ORDER BY query_id, sim DESC, neighbor_id
 # Language ID, quality, token counting, fingerprints
 # ---------------------------------------------------------------------------
 
-_HANGUL_RE = re.compile(r"[가-힣]")
-_LATIN_RE = re.compile(r"[a-zA-Z]")
-_WS_RE = re.compile(r"\s")
 _BPE_RE = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
 EN_STOP = ["the", "a", "of", "to"]
 
 
 def q_langid(sf_dir: str) -> pa.Table:
-    """n-gram-free heuristic language ID: script-character ratios."""
+    """n-gram-free heuristic language ID: script-character ratios,
+    vectorized (pandas str kernels — no per-row Python)."""
 
     def pred(batch: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for text in batch["text"]:
-            t = _WS_RE.sub("", text)
-            if not t:
-                out.append("unknown")
-                continue
-            hangul = len(_HANGUL_RE.findall(t))
-            latin = len(_LATIN_RE.findall(t))
-            if hangul / len(t) > 0.3:
-                out.append("ko")
-            elif latin / len(t) > 0.3:
-                out.append("en")
-            else:
-                out.append("other")
+        s = batch["text"].str.replace(r"\s", "", regex=True)
+        n = s.str.len().to_numpy(dtype=np.float64)
+        hangul = s.str.count(r"[가-힣]").to_numpy(dtype=np.float64)
+        latin = s.str.count(r"[a-zA-Z]").to_numpy(dtype=np.float64)
+        denom = np.maximum(n, 1.0)
+        out = np.where(n == 0, "unknown",
+                       np.where(hangul / denom > 0.3, "ko",
+                                np.where(latin / denom > 0.3, "en", "other")))
         return pd.DataFrame({"doc_id": batch["doc_id"].values, "pred_lang": out})
 
     out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(pred, batch_format="pandas")
@@ -576,27 +592,30 @@ FROM c ORDER BY doc_id
 """
 
 
+_STOP_TOKEN_RE = r"(?<!\S)(?:the|a|of|to)(?!\S)"
+
+
 def q_quality_scores(sf_dir: str) -> pa.Table:
-    """Quality = 0.4*length_score + 0.3*(1-punct_ratio) + 0.3*(1-stop_ratio)."""
+    """Quality = 0.4*length_score + 0.3*(1-punct_ratio) + 0.3*(1-stop_ratio),
+    vectorized (pandas str kernels; the char classes mirror the SQL oracle's
+    regexes exactly)."""
+    import re as _re
 
     def score(batch: pd.DataFrame) -> pd.DataFrame:
-        doc_ids, n_words_o, quality_o = [], [], []
-        for doc_id, text in zip(batch["doc_id"], batch["text"]):
-            words = text.split()
-            n_words = len(words)
-            n_chars = len(text)
-            punct = sum(1 for ch in text if not (ch.isalnum() or ch.isspace() or ch == "_"
-                                                 or "가" <= ch <= "힣"))
-            punct_ratio = punct / n_chars if n_chars else 0.0
-            stops = sum(1 for w in words if w.lower() in EN_STOP)
-            stop_ratio = stops / n_words if n_words else 0.0
-            length_score = min(1.0, n_words / 100.0)
-            q = 0.4 * length_score + 0.3 * (1 - punct_ratio) + 0.3 * (1 - stop_ratio)
-            doc_ids.append(doc_id)
-            n_words_o.append(n_words)
-            quality_o.append(q)
-        return pd.DataFrame({"doc_id": doc_ids, "n_words": n_words_o,
-                             "quality": round6(quality_o)})
+        text = batch["text"]
+        n_words = text.str.count(r"\S+").to_numpy(dtype=np.int64)
+        n_chars = text.str.len().to_numpy(dtype=np.float64)
+        keep = text.str.count(r"[a-zA-Z0-9_\s가-힣]").to_numpy(dtype=np.float64)
+        punct_ratio = np.where(n_chars == 0, 0.0,
+                               (n_chars - keep) / np.maximum(n_chars, 1.0))
+        stops = text.str.count(_STOP_TOKEN_RE,
+                               flags=_re.IGNORECASE).to_numpy(dtype=np.float64)
+        stop_ratio = np.where(n_words == 0, 0.0,
+                              stops / np.maximum(n_words, 1.0))
+        length_score = np.minimum(1.0, n_words / 100.0)
+        q = 0.4 * length_score + 0.3 * (1 - punct_ratio) + 0.3 * (1 - stop_ratio)
+        return pd.DataFrame({"doc_id": batch["doc_id"].values,
+                             "n_words": n_words, "quality": round6(q)})
 
     out = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(score, batch_format="pandas")
     return _collect(out).sort_by("doc_id")
@@ -733,19 +752,40 @@ def q_comments_exploded(sf_dir: str) -> pa.Table:
 
 def q_politeness_summary(sf_dir: str) -> pa.Table:
     """Per-host lineage: grants + minimum inter-arrival gap (politeness
-    invariant surfaced as a queryable table)."""
-    from ..pipelines.crawl import load_fetch_log
+    invariant surfaced as a queryable table).
+
+    Streaming shape: column-pruned ``read_parquet`` over the fetch_log
+    checkpoint → ``groupby(host).map_groups`` (the shuffle moves only the
+    pruned lineage columns; output is one row per host). Per-url dedup —
+    max (grant_seq, fetch_ts) wins, matching ``load_fetch_log`` and the
+    SQL oracle — happens inside each host group, which is exact because a
+    url_norm maps to exactly one host. Nothing log-sized ever lands on
+    the driver (the round-2 path concatenated the whole log into driver
+    pandas; at 10^10 URLs that breaks)."""
+    import os
 
     out = _crawl_out(sf_dir)
-    log = load_fetch_log(out).to_pandas()
-    granted = log[log["grant_seq"] >= 0].sort_values(["host", "fetch_ts"])
-    rows = []
-    for host, g in granted.groupby("host"):
-        ts = g["fetch_ts"].astype("int64").to_numpy() / 1e6
-        min_gap = float(np.diff(ts).min()) if len(ts) > 1 else None
-        rows.append({"host": host, "n_granted": len(g),
-                     "min_gap_s": float(round6(min_gap)) if min_gap is not None else None})
-    return pa.Table.from_pylist(sorted(rows, key=lambda r: r["host"]))
+    files = sorted(glob.glob(os.path.join(out, "fetch_log", "*.parquet")))
+    ds = ray.data.read_parquet(
+        files, columns=["url_norm", "host", "grant_seq", "fetch_ts"])
+
+    def per_host(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g.sort_values(["grant_seq", "fetch_ts"], kind="stable")
+             .drop_duplicates(subset=["url_norm"], keep="last"))
+        granted = g[g["grant_seq"] >= 0].sort_values("fetch_ts")
+        if not len(granted):
+            return pd.DataFrame({"host": pd.Series([], dtype=object),
+                                 "n_granted": pd.Series([], dtype=np.int64),
+                                 "min_gap_s": pd.Series([], dtype=np.float64)})
+        ts = granted["fetch_ts"].astype("int64").to_numpy() / 1e6
+        min_gap = float(round6(float(np.diff(ts).min()))) if len(ts) > 1 else None
+        return pd.DataFrame({"host": [granted["host"].iloc[0]],
+                             "n_granted": np.array([len(granted)], np.int64),
+                             "min_gap_s": np.array([min_gap], np.float64)})
+
+    tbl = _collect(ds.groupby("host").map_groups(per_host,
+                                                 batch_format="pandas"))
+    return tbl.sort_by("host")
 
 
 # ---------------------------------------------------------------------------

@@ -262,7 +262,18 @@ def decode_html(raw: bytes, content_type: str | None = None) -> str:
     """M14 encoding normalization (content_crawler.py:159-166 order):
     Content-Type charset first, then the sniffed/apparent encoding, then
     utf-8; a page that defeats all of them decodes with replacement
-    rather than failing the task."""
+    rather than failing the task.
+
+    Fast path: bytes that decode as strict utf-8 skip the charset sniff
+    entirely — identical output for utf-8 pages (including every page the
+    sandbox corpus emits), and the reference's precedence cascade still
+    applies verbatim to anything that is not valid utf-8 (cp949 Korean
+    multibyte sequences are invalid utf-8, so they always fall through)."""
+    if content_type is None or "charset=" not in content_type:
+        try:
+            return raw.decode("utf-8")
+        except UnicodeDecodeError:
+            pass
     tried: list[str] = []
     if content_type and "charset=" in content_type:
         tried.append(content_type.split("charset=")[-1].split(";")[0].strip())
