@@ -21,6 +21,14 @@ import hashlib
 
 import numpy as np
 
+import os as _os
+
+# Each Ray worker runs one batch at a time on its own CPU slot; letting
+# polars spawn its full thread pool in every worker oversubscribes the
+# node (32 tasks x N threads). Must be set before the first polars import
+# in the process — hashing.py is imported before any polars use.
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 try:
     import polars as _pl
 except ImportError:  # pragma: no cover - polars is baked into the image

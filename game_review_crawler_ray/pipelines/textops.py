@@ -85,50 +85,100 @@ def _minhash_stage(batch: pd.DataFrame) -> pd.DataFrame:
             rows_id.append(doc_id)
             rows_key.append(key)
             rows_sig.append(sig_bytes)
-    return pd.DataFrame({"doc_id": rows_id, "band_key": rows_key, "sig": rows_sig})
+    keys = np.asarray(rows_key, dtype=np.int64)
+    return pd.DataFrame({"doc_id": rows_id, "band_key": keys,
+                         "coarse": _coarse_of(keys), "sig": rows_sig})
 
 
-def _bucket_pairs(group: pa.Table, est_threshold: float) -> pa.Table:
-    ids = group.column("doc_id").to_pylist()
-    sigs = [np.frombuffer(s, dtype=np.uint64) for s in group.column("sig").to_pylist()]
-    order = np.argsort(ids)
-    ids = [ids[i] for i in order]
-    sigs = [sigs[i] for i in order]
-    if len(ids) > MAX_BUCKET:
-        print(f"[dedup_minhash] hot bucket truncated: {len(ids)} -> {MAX_BUCKET} docs")
-        ids, sigs = ids[:MAX_BUCKET], sigs[:MAX_BUCKET]
+N_COARSE = 64   # Ray-level shuffle partitions for bucket/pair stages
+
+
+def _coarse_of(keys: np.ndarray) -> np.ndarray:
+    """Coarse shuffle partition for a key column: mix then mod so
+    consecutive band indices spread evenly."""
+    return (H._mix64(keys.astype(np.uint64)) % np.uint64(N_COARSE)).astype(np.int64)
+
+
+def _bucket_bounds(keys: np.ndarray, ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Sort order (by key, then id) and bucket boundary indices for ONE
+    coarse shuffle partition.
+
+    A coarse partition holds MANY real LSH buckets: grouping Ray-side by
+    the raw key makes one tiny Ray group per distinct key, and pandas
+    groupby iteration per real bucket pays frame overhead per bucket —
+    both measured slower than the whole rest of the pipeline. One lexsort
+    + boundary scan resolves every bucket with pure numpy slicing;
+    singleton buckets cost one comparison each."""
+    order = np.lexsort((ids, keys))
+    k = keys[order]
+    bounds = np.flatnonzero(np.concatenate(([True], k[1:] != k[:-1], [True])))
+    return order, bounds
+
+
+def _bucket_pairs(group: pd.DataFrame, est_threshold: float) -> pa.Table:
+    if not len(group):
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "est_jaccard": pa.array([], pa.float64())})
+    keys = group["band_key"].to_numpy(dtype=np.int64)
+    ids_all = group["doc_id"].to_numpy(dtype=np.int64)
+    sig_all = np.frombuffer(b"".join(group["sig"]),
+                            dtype=np.uint64).reshape(len(group), -1)
+    order, bounds = _bucket_bounds(keys, ids_all)
+    ids_all, sig_all = ids_all[order], sig_all[order]
     a_out, b_out, est_out = [], [], []
-    for i in range(len(ids)):
-        for j in range(i + 1, len(ids)):
-            if ids[i] == ids[j]:
-                continue
-            est = H.estimate_jaccard(sigs[i], sigs[j])
-            if est >= est_threshold:
-                a_out.append(ids[i])
-                b_out.append(ids[j])
-                est_out.append(est)
-    return pa.table({"doc_a": pa.array(a_out, pa.int64()),
-                     "doc_b": pa.array(b_out, pa.int64()),
-                     "est_jaccard": pa.array(round6(est_out) if est_out else [],
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        if e - s > MAX_BUCKET:
+            print(f"[dedup_minhash] hot bucket truncated: {e - s} -> {MAX_BUCKET} docs")
+            e = s + MAX_BUCKET
+        ids = ids_all[s:e]
+        sig = sig_all[s:e]
+        # pairwise estimated jaccard: mean positionwise signature equality
+        est = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
+        iu, ju = np.nonzero(np.triu(est >= est_threshold, k=1)
+                            & (ids[None, :] != ids[:, None]))
+        a_out.append(ids[iu])
+        b_out.append(ids[ju])
+        est_out.append(est[iu, ju])
+    if not a_out:
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "est_jaccard": pa.array([], pa.float64())})
+    return pa.table({"doc_a": pa.array(np.concatenate(a_out), pa.int64()),
+                     "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
+                     "est_jaccard": pa.array(round6(np.concatenate(est_out)),
                                              pa.float64())})
 
 
 def _dedup_pairs_distributed(pairs: ray.data.Dataset,
                              schema: dict[str, pa.DataType]) -> pa.Table:
-    """Cross-band pair dedup as a keyed ``groupby((doc_a, doc_b))`` —
-    a pair can fire in several bands, and the per-pair value (est/hamming/
-    sim) is identical in every firing because it is recomputed from the
-    same full signature, so keeping any one row per key is exact. Keyed
-    shuffle, not driver pandas: a skewed corpus at 100 TB can emit pair
-    sets far beyond driver RAM; after this stage the driver only ever sees
-    the deduped result (the query output itself)."""
+    """Cross-band pair dedup as a keyed shuffle — a pair can fire in
+    several bands, and the per-pair value (est/hamming/sim) is identical
+    in every firing because it is recomputed from the same full
+    signature, so keeping any one row per key is exact. Keyed shuffle,
+    not driver pandas: a skewed corpus at 100 TB can emit pair sets far
+    beyond driver RAM; after this stage the driver only ever sees the
+    deduped result (the query output itself).
+
+    The shuffle key is ``hash(doc_a, doc_b) % N_COARSE`` (all firings of
+    a pair land in the same partition) rather than the raw pair — one
+    vectorized drop_duplicates per partition instead of one Ray group
+    per pair, which measured ~10x slower at sf0.1."""
     keys = list(schema.keys())[:2]
 
-    def first(g: pa.Table) -> pa.Table:
-        return g.slice(0, 1)
+    def add_pk(batch: pd.DataFrame) -> pd.DataFrame:
+        a = batch[keys[0]].to_numpy(dtype=np.int64).astype(np.uint64)
+        b = batch[keys[1]].to_numpy(dtype=np.int64).astype(np.uint64)
+        batch["pk"] = _coarse_of(a * np.uint64(0x9E3779B97F4A7C15) ^ b)
+        return batch
 
-    tbl = _collect(pairs.groupby(keys).map_groups(first,
-                                                  batch_format="pyarrow"))
+    def drop_dups(g: pd.DataFrame) -> pd.DataFrame:
+        return g.drop_duplicates(subset=keys)
+
+    tbl = _collect(pairs.map_batches(add_pk, batch_format="pandas")
+                   .groupby("pk").map_groups(drop_dups, batch_format="pandas"))
     if tbl.num_rows == 0:
         return pa.table({k: pa.array([], t) for k, t in schema.items()})
     return tbl.select(list(schema.keys())).sort_by(
@@ -140,8 +190,8 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, est_threshold: float = 0.7) ->
     deduped across bands with a second keyed groupby (a pair can fire in
     several bands)."""
     bands = ds.map_batches(_minhash_stage, batch_format="pandas")
-    pairs = bands.groupby("band_key").map_groups(
-        lambda g: _bucket_pairs(g, est_threshold), batch_format="pyarrow")
+    pairs = bands.groupby("coarse").map_groups(
+        lambda g: _bucket_pairs(g, est_threshold), batch_format="pandas")
     return _dedup_pairs_distributed(
         pairs, {"doc_a": pa.int64(), "doc_b": pa.int64(),
                 "est_jaccard": pa.float64()})
@@ -205,35 +255,47 @@ def simhash_pairs(ds: ray.data.Dataset, max_hamming: int = 3) -> pa.Table:
                 ids.append(doc_id)
                 keys.append(key)
                 hashes.append(h)
-        return pd.DataFrame({"doc_id": ids,
-                             "chunk_key": np.array(keys, dtype=np.int64),
+        karr = np.array(keys, dtype=np.int64)
+        return pd.DataFrame({"doc_id": ids, "chunk_key": karr,
+                             "coarse": _coarse_of(karr),
                              "sh": np.array(hashes, dtype=np.uint64)})
 
-    def bucket(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_pylist()
-        hs = group.column("sh").to_pylist()
-        order = np.argsort(ids)
-        ids = [ids[i] for i in order]
-        hs = [hs[i] for i in order]
-        if len(ids) > MAX_BUCKET:
-            print(f"[dedup_simhash] hot bucket truncated: {len(ids)} -> {MAX_BUCKET}")
-            ids, hs = ids[:MAX_BUCKET], hs[:MAX_BUCKET]
+    def bucket(group: pd.DataFrame) -> pa.Table:
+        # one coarse partition -> resolve real chunk_key buckets locally
+        # (see _bucket_bounds for why the Ray shuffle is coarse-keyed)
+        keys = group["chunk_key"].to_numpy(dtype=np.int64)
+        ids_all = group["doc_id"].to_numpy(dtype=np.int64)
+        hs_all = group["sh"].to_numpy(dtype=np.uint64)
+        order, bounds = _bucket_bounds(keys, ids_all)
+        ids_all, hs_all = ids_all[order], hs_all[order]
         a_o, b_o, d_o = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                d = H.hamming64(hs[i], hs[j])
-                if d <= max_hamming:
-                    a_o.append(ids[i])
-                    b_o.append(ids[j])
-                    d_o.append(d)
-        return pa.table({"doc_a": pa.array(a_o, pa.int64()),
-                         "doc_b": pa.array(b_o, pa.int64()),
-                         "hamming": pa.array(d_o, pa.int64())})
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            if e - s > MAX_BUCKET:
+                print(f"[dedup_simhash] hot bucket truncated: {e - s} -> {MAX_BUCKET}")
+                e = s + MAX_BUCKET
+            ids = ids_all[s:e]
+            hs = hs_all[s:e]
+            xor = hs[:, None] ^ hs[None, :]
+            ham = np.unpackbits(xor.view(np.uint8).reshape(len(hs), len(hs), 8),
+                                axis=2).sum(axis=2)
+            iu, ju = np.nonzero(np.triu(ham <= max_hamming, k=1)
+                                & (ids[None, :] != ids[:, None]))
+            a_o.append(ids[iu])
+            b_o.append(ids[ju])
+            d_o.append(ham[iu, ju])
+        if not a_o:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "hamming": pa.array([], pa.int64())})
+        return pa.table({"doc_a": pa.array(np.concatenate(a_o), pa.int64()),
+                         "doc_b": pa.array(np.concatenate(b_o), pa.int64()),
+                         "hamming": pa.array(np.concatenate(d_o).astype(np.int64),
+                                             pa.int64())})
 
     rowsed = ds.map_batches(stage, batch_format="pandas")
-    pairs = rowsed.groupby("chunk_key").map_groups(bucket, batch_format="pyarrow")
+    pairs = rowsed.groupby("coarse").map_groups(bucket, batch_format="pandas")
     return _dedup_pairs_distributed(
         pairs, {"doc_a": pa.int64(), "doc_b": pa.int64(),
                 "hamming": pa.int64()})
@@ -296,6 +358,7 @@ class _LshBandStage:
         if not len(ids):
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "band_key": pa.array([], pa.int64()),
+                             "coarse": pa.array([], pa.int64()),
                              "emb": pa.array([], pa.binary())})
         bits = (_normalize(mat) @ self._planes(mat.shape[1])) >= 0  # (n, LSH_BITS)
         n_bands = LSH_BITS // LSH_BAND_BITS
@@ -310,25 +373,48 @@ class _LshBandStage:
         out_emb = [b for b in emb_bytes for _ in range(n_bands)]
         return pa.table({"vec_id": pa.array(out_ids, pa.int64()),
                          "band_key": pa.array(out_keys, pa.int64()),
+                         "coarse": pa.array(_coarse_of(out_keys), pa.int64()),
                          "emb": pa.array(out_emb, pa.binary())})
 
 
-def _emb_bucket_pairs(group: pa.Table, threshold: float) -> pa.Table:
-    ids = group.column("vec_id").to_numpy(zero_copy_only=False)
-    order = np.argsort(ids)
-    ids = ids[order]
-    embs = group.column("emb").to_pylist()
-    if len(ids) > MAX_BUCKET:
-        print(f"[embedding_neardup] hot bucket truncated: {len(ids)} -> {MAX_BUCKET}")
-        ids = ids[:MAX_BUCKET]
-    mat = np.stack([np.frombuffer(embs[i], dtype=np.float32)
-                    for i in order[: len(ids)]]).astype(np.float64)
-    matn = _normalize(mat)
-    sims = matn @ matn.T
-    iu, ju = np.nonzero(np.triu(sims >= threshold, k=1) & (ids[None, :] != ids[:, None]))
-    return pa.table({"doc_pair_a": pa.array(ids[iu], pa.int64()),
-                     "doc_pair_b": pa.array(ids[ju], pa.int64()),
-                     "sim": pa.array(sims[iu, ju], pa.float64())})
+def _emb_bucket_pairs(group: pd.DataFrame, threshold: float) -> pa.Table:
+    """One coarse partition -> resolve real band_key buckets locally
+    (see _bucket_bounds for why the Ray shuffle is coarse-keyed).
+    All embeddings decode + normalize in ONE vectorized pass; buckets are
+    numpy slices of the normalized matrix."""
+    if not len(group):
+        return pa.table({"doc_pair_a": pa.array([], pa.int64()),
+                         "doc_pair_b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    keys = group["band_key"].to_numpy(dtype=np.int64)
+    ids_all = group["vec_id"].to_numpy(dtype=np.int64)
+    mat_all = np.frombuffer(b"".join(group["emb"]),
+                            dtype=np.float32).reshape(len(group), -1)
+    order, bounds = _bucket_bounds(keys, ids_all)
+    ids_all = ids_all[order]
+    matn_all = _normalize(mat_all[order].astype(np.float64))
+    a_o, b_o, s_o = [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        if e - s < 2:
+            continue
+        if e - s > MAX_BUCKET:
+            print(f"[embedding_neardup] hot bucket truncated: {e - s} -> {MAX_BUCKET}")
+            e = s + MAX_BUCKET
+        ids = ids_all[s:e]
+        matn = matn_all[s:e]
+        sims = matn @ matn.T
+        iu, ju = np.nonzero(np.triu(sims >= threshold, k=1)
+                            & (ids[None, :] != ids[:, None]))
+        a_o.append(ids[iu])
+        b_o.append(ids[ju])
+        s_o.append(sims[iu, ju])
+    if not a_o:
+        return pa.table({"doc_pair_a": pa.array([], pa.int64()),
+                         "doc_pair_b": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
+    return pa.table({"doc_pair_a": pa.array(np.concatenate(a_o), pa.int64()),
+                     "doc_pair_b": pa.array(np.concatenate(b_o), pa.int64()),
+                     "sim": pa.array(np.concatenate(s_o), pa.float64())})
 
 
 def embedding_neardup_pairs(ds: ray.data.Dataset,
@@ -342,8 +428,8 @@ def embedding_neardup_pairs(ds: ray.data.Dataset,
     brute-force baseline below it is the exactness oracle in tests."""
     bands = ds.map_batches(_LshBandStage, concurrency=(2, 8),
                            batch_format="pyarrow")
-    pairs = bands.groupby("band_key").map_groups(
-        lambda g: _emb_bucket_pairs(g, threshold), batch_format="pyarrow")
+    pairs = bands.groupby("coarse").map_groups(
+        lambda g: _emb_bucket_pairs(g, threshold), batch_format="pandas")
     tbl = _dedup_pairs_distributed(
         pairs, {"doc_pair_a": pa.int64(), "doc_pair_b": pa.int64(),
                 "sim": pa.float64()})
