@@ -498,11 +498,14 @@ WHERE sim >= 0.9 ORDER BY vec_a, vec_b
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """The 8 query vectors. The ``vec_id < 8`` predicate is pushed into
+    the parquet read (row-group pruning) — the driver never pulls the
+    full embedding column."""
     import pyarrow.parquet as pq
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    qtbl = full.filter(pc.less(full.column("vec_id"), 8))
+    qtbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "<", 8)])
     q_ids, q_mat = _mat_from_batch(qtbl)
     return q_ids, _normalize(q_mat)
 
@@ -531,8 +534,11 @@ def _partial_topk_fn(q_ref, k: int, probe_of=None):
                 out_n.extend(ids[top])
                 out_s.extend(sims[i, top])
         else:
-            centroids, probes = ray.get(probe_of)
-            bucket = np.argmax(matn @ centroids.T, axis=1)
+            # IVF: bucket assignment is read from the index's bucket_id
+            # column (written by the partitioned build — never recomputed)
+            probes = ray.get(probe_of)
+            bucket = batch.column("bucket_id").to_numpy(
+                zero_copy_only=False)[sel]
             for i in range(len(qi)):
                 cand = np.isin(bucket, probes[i])
                 if not cand.any():
@@ -578,9 +584,7 @@ IVF_NPROBE = 4
 def ann_ivf_centroids(sample: np.ndarray, k: int = IVF_CENTROIDS,
                       iters: int = 5, seed: int = 11) -> np.ndarray:
     """Spherical k-means-lite on a sample (deterministic): the IVF coarse
-    quantizer. At cluster scale the sample comes from ``ds.random_sample``
-    and the assignment pass writes bucket-partitioned parquet so queries
-    read only probed partitions."""
+    quantizer."""
     rng = np.random.default_rng(seed)
     samplen = _normalize(sample)
     cent = samplen[rng.choice(len(samplen), size=min(k, len(samplen)),
@@ -597,22 +601,93 @@ def ann_ivf_centroids(sample: np.ndarray, k: int = IVF_CENTROIDS,
     return cent
 
 
-def q_ann_topk_ivf(sf_dir: str) -> pa.Table:
-    """IVF scale path: coarse-quantize candidates to spherical-kmeans
-    buckets; each query scores only its ``nprobe`` nearest buckets.
-    Rows-only (approximate by design); recall vs the brute baseline is
-    pinned by tests."""
-    import pyarrow.parquet as pq
+ANN_INDEX_ROOT = "/tmp/grc_ann"
 
+
+def ann_ivf_build(sf_dir: str, n_centroids: int = IVF_CENTROIDS,
+                  sample_cap: int = 4096) -> tuple[str, np.ndarray]:
+    """Build (once; disk-cached with a _SUCCESS marker) the IVF index:
+    streaming sample -> spherical-kmeans centroids -> an assignment pass
+    that writes BUCKET-PARTITIONED parquet (``bucket=N/`` directories via
+    ``write_parquet(partition_cols=...)``) so queries read only probed
+    partitions. ``bucket_id`` is duplicated as a data column so pruned
+    per-directory reads don't depend on hive-partition inference.
+
+    The kmeans sample streams through ``ds.random_sample(seed=...)`` +
+    ``limit`` — only ``sample_cap`` vectors ever reach the driver, never
+    the full table."""
+    import os
+
+    tag = re.sub(r"[^A-Za-z0-9_.-]+", "_", os.path.abspath(sf_dir).strip("/"))
+    root = os.path.join(ANN_INDEX_ROOT, f"{tag}_c{n_centroids}")
+    cent_path = os.path.join(root, "centroids.npy")
+    if os.path.exists(os.path.join(root, "_SUCCESS")):
+        return root, np.load(cent_path)
+
+    sample_tbl = _collect(_embeddings(sf_dir)
+                          .random_sample(0.5, seed=11).limit(sample_cap))
+    if sample_tbl.num_rows < n_centroids:   # tiny inputs: take the head
+        sample_tbl = _collect(_embeddings(sf_dir).limit(sample_cap))
+    _, sample = _mat_from_batch(sample_tbl)
+    cent = ann_ivf_centroids(sample, k=n_centroids)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids, mat = _mat_from_batch(batch)
+        if not len(ids):
+            return batch.append_column(
+                "bucket_id", pa.array([], pa.int64())).append_column(
+                "bucket", pa.array([], pa.int64()))
+        b = np.argmax(_normalize(mat) @ ray.get(cent_ref).T, axis=1).astype(np.int64)
+        return batch.append_column(
+            "bucket_id", pa.array(b)).append_column("bucket", pa.array(b))
+
+    import shutil
+    shutil.rmtree(root, ignore_errors=True)
+    (_embeddings(sf_dir).map_batches(assign, batch_format="pyarrow")
+     .write_parquet(root, partition_cols=["bucket"]))
+    np.save(cent_path, cent)
+    with open(os.path.join(root, "_SUCCESS"), "w") as f:
+        f.write("")
+    return root, cent
+
+
+def ann_ivf_probe_paths(root: str, buckets: "list[int]") -> list[str]:
+    """Partition directories for the probed buckets ONLY — the I/O-pruning
+    contract of the IVF layout (a test asserts no other partition is
+    touched)."""
+    import os
+
+    out = []
+    for b in sorted(set(int(x) for x in buckets)):
+        p = os.path.join(root, f"bucket={b}")
+        if os.path.isdir(p):
+            # read_parquet accepts one dir or a list of FILES, not a list
+            # of dirs — enumerate the partition's files
+            out.extend(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+    return out
+
+
+def q_ann_topk_ivf(sf_dir: str) -> pa.Table:
+    """IVF scale path: the partitioned index (``ann_ivf_build``) assigns
+    every vector to a spherical-kmeans bucket and stores one partition per
+    bucket; each query probes its ``nprobe`` nearest centroids and the
+    read touches ONLY the probed partitions — bucketing prunes I/O, not
+    just FLOPs. Rows-only (approximate by design); recall vs the brute
+    baseline is pinned by tests."""
     q_ids, q_matn = _query_matrix(sf_dir)
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    _, sample = _mat_from_batch(full.slice(0, min(4096, full.num_rows)))
-    cent = ann_ivf_centroids(sample)
+    root, cent = ann_ivf_build(sf_dir)
     probes = np.argsort(-(q_matn @ cent.T), axis=1)[:, :IVF_NPROBE]
+    paths = ann_ivf_probe_paths(root, probes.ravel().tolist())
+    if not paths:
+        return pa.table({"query_id": pa.array([], pa.int64()),
+                         "neighbor_id": pa.array([], pa.int64()),
+                         "sim": pa.array([], pa.float64())})
     q_ref = ray.put((q_ids, q_matn))
-    probe_ref = ray.put((cent, probes))
-    part = _collect(_embeddings(sf_dir).map_batches(
+    probe_ref = ray.put(probes)
+    ds = ray.data.read_parquet(paths,
+                               columns=["vec_id", "embedding", "bucket_id"])
+    part = _collect(ds.map_batches(
         _partial_topk_fn(q_ref, k=5, probe_of=probe_ref),
         batch_format="pyarrow"))
     return _merge_topk(part, k=5)

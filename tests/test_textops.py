@@ -170,6 +170,33 @@ def test_ann_ivf_recall(tmp_path):
         sims = [r["sim"] for r in ivf_rows if r["query_id"] == qi]
         assert sims == sorted(sims, reverse=True)
 
+    # I/O-pruning contract: the query must not touch non-probed
+    # partitions. Prove it behaviorally — delete every partition outside
+    # the probe set and the result must be byte-identical.
+    import glob
+    import shutil
+
+    from game_review_crawler_ray.pipelines.textops import (
+        IVF_NPROBE, _query_matrix, ann_ivf_build, ann_ivf_probe_paths,
+    )
+
+    root, cent = ann_ivf_build(str(tmp_path))  # cached from the query above
+    _, q_matn = _query_matrix(str(tmp_path))
+    probes = np.argsort(-(q_matn @ cent.T), axis=1)[:, :IVF_NPROBE]
+    import os
+
+    probed = {os.path.dirname(f)
+              for f in ann_ivf_probe_paths(root, probes.ravel().tolist())}
+    all_parts = set(glob.glob(str(root) + "/bucket=*"))
+    assert probed <= all_parts and probed  # probe paths are real partitions
+    if all_parts - probed:                 # some partitions are NOT probed
+        for p in all_parts - probed:
+            shutil.rmtree(p)
+        again = {(r["query_id"], r["neighbor_id"], r["sim"])
+                 for r in q_ann_topk_ivf(str(tmp_path)).to_pylist()}
+        assert again == {(r["query_id"], r["neighbor_id"], r["sim"])
+                         for r in ivf_rows}
+
 
 def test_media_features_plumbing():
     from game_review_crawler_ray.stages.multimodal import (
