@@ -37,6 +37,11 @@ class CrawlConfig:
     fetch_concurrency: int = 8         # fetch actor pool size
     parse_batch_size: int = 256
     seen_exact: bool = True            # exact seen-set (conformance) vs bloom
+    # seed-prep strategy: "driver" (two task waves + from_arrow_refs;
+    # driver touches only fixed-width hash/shard arrays — right up to
+    # ~10^8 seeds) or "raydata" (annotate/dedup/sort all as Ray Data
+    # operators — the >10^8 scale path; see prep_seed_blocks_raydata)
+    seed_prep: str = "driver"
     bloom_capacity: int = 1 << 20      # per-shard expected insertions
     bloom_fpp: float = 1e-4
     # virtual politeness clock: grant times are simulated deterministically

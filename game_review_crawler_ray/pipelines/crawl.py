@@ -38,6 +38,7 @@ import json
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -293,6 +294,61 @@ def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
     return ray.data.from_arrow_refs(ordered)
 
 
+def prep_seed_blocks_raydata(seeds, cfg: CrawlConfig, parallelism: int,
+                             exact_dedup: bool = True) -> ray.data.Dataset:
+    """Seed prep as a pure Ray Data job — the documented >10^8-seed scale
+    path (``cfg.seed_prep="raydata"``). Same semantics as
+    ``prep_seed_blocks`` (annotate, exact first-wins dedup by url_hash ==
+    min-seed_rank winner, (frontier shard, seed_rank) order) but nothing
+    seed-sized ever touches the driver:
+
+    - annotate + shard-id: ``map_batches``
+    - first-wins dedup: keyed shuffle on ``url_hash % K`` coarse
+      partitions (all occurrences of a hash land together), winner
+      resolved with one vectorized sort+drop_duplicates per partition
+    - layout: ``Dataset.sort`` on (shard_id, seed_rank) — blocks come out
+      shard-contiguous; at most the two boundary rows' worth of a block
+      spans two shards, which ``frontier_offer_fn``'s split path handles
+      with one extra RPC per boundary block.
+
+    The driver path stays the default: for seed tables that fit the
+    driver (every sandbox corpus), two task waves + ``from_arrow_refs``
+    beat a full Ray sort by seconds of fixed all-to-all overhead.
+    """
+    num_shards = cfg.num_frontier_shards
+    n_dedup_parts = max(64, parallelism)
+    ds = load_seeds(seeds, parallelism)
+
+    def annotate_shard(batch: pa.Table) -> pa.Table:
+        out = annotate_urls(batch)
+        hosts = out.column("host").to_pylist()
+        shard_of = {h: url_hash64(h) % num_shards for h in set(hosts)}
+        sid = np.fromiter((shard_of[h] for h in hosts), dtype=np.int64,
+                          count=len(hosts))
+        return out.append_column("shard_id", pa.array(sid, pa.int64()))
+
+    ds = ds.map_batches(annotate_shard, batch_format="pyarrow")
+
+    if exact_dedup:
+        def add_dk(batch: pa.Table) -> pa.Table:
+            h = np.asarray(batch.column("url_hash").to_numpy(
+                zero_copy_only=False), dtype=np.uint64)
+            return batch.append_column(
+                "dk", pa.array((h % np.uint64(n_dedup_parts)).astype(np.int64),
+                               pa.int64()))
+
+        def winners(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["url_hash", "seed_rank"], kind="stable")
+            return g.drop_duplicates(subset="url_hash").drop(columns=["dk"])
+
+        ds = (ds.map_batches(add_dk, batch_format="pyarrow")
+              .groupby("dk").map_groups(winners, batch_format="pandas"))
+
+    ds = ds.sort(["shard_id", "seed_rank"])
+    return ds.map_batches(lambda b: b.drop_columns(["shard_id"]),
+                          batch_format="pyarrow")
+
+
 def load_seeds(seeds, parallelism: int | None = None) -> ray.data.Dataset:
     """Seed table -> Dataset, pre-split into blocks driver-side.
 
@@ -435,7 +491,12 @@ def run_crawl(
         _mark("corpus_put")
 
     try:
-        if isinstance(seeds, pa.Table):
+        if cfg.seed_prep == "raydata":
+            # >10^8-seed scale path: every prep step is a Ray Data
+            # operator (see prep_seed_blocks_raydata)
+            ds = prep_seed_blocks_raydata(seeds, cfg, parallelism or 64,
+                                          exact_dedup=cfg.seen_exact)
+        elif isinstance(seeds, pa.Table):
             # seed prep (annotate + exact first-wins dedup + shard-aligned
             # block layout) happens up front: the seed table is tiny relative
             # to the pages it fans out to. Shard-aligned blocks mean each

@@ -35,9 +35,11 @@ def _read_posts(res):
     return pq.read_table(res["posts_dir"])
 
 
-def test_e2e_conformance(tmp_path, corpus):
+@pytest.mark.parametrize("seed_prep", ["driver", "raydata"])
+def test_e2e_conformance(tmp_path, corpus, seed_prep):
     pages, expected, seeds = corpus
-    cfg = CrawlConfig(num_frontier_shards=3, fetch_concurrency=2)
+    cfg = CrawlConfig(num_frontier_shards=3, fetch_concurrency=2,
+                      seed_prep=seed_prep)
     res = run_crawl(pages, seeds, str(tmp_path / "out"), cfg)
     posts = _read_posts(res)
 
