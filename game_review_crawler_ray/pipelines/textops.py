@@ -68,18 +68,30 @@ FROM documents GROUP BY md5(text) ORDER BY doc_id
 # MinHash + LSH near-dup (rows-only; verified by planted-dup tests)
 # ---------------------------------------------------------------------------
 
-def _minhash_stage(batch: pd.DataFrame) -> pd.DataFrame:
-    """doc -> 8 band rows (doc_id, band_key, sig bytes). All words in the
-    batch are hashed in ONE vectorized call (the per-shingle Python blake2
-    loop dominated round-2's dedup cost); per-doc work is numpy only."""
-    doc_words = [t.lower().split() for t in batch["text"]]
-    flat = [w for ws in doc_words for w in ws]
+def _minhash_stage(batch: pd.DataFrame, features: str = "word") -> pd.DataFrame:
+    """doc -> 8 band rows (doc_id, band_key, sig bytes). All features in
+    the batch are hashed in ONE vectorized call (the per-shingle Python
+    blake2 loop dominated round-2's dedup cost); per-doc work is numpy
+    only.
+
+    ``features="word"``: 3-word shingles (dedup_minhash's metric).
+    ``features="char"``: char-3-gram SET hashes — the candidate stage for
+    the n-gram-verified dedup MUST minhash the verifier's own feature
+    space: a word-permuted near-dup keeps ~all char trigrams but no word
+    shingle, so word-LSH estimates its similarity at 0."""
+    if features == "char":
+        doc_feats = [list(H.char_ngrams(t)) for t in batch["text"]]
+    else:
+        doc_feats = [t.lower().split() for t in batch["text"]]
+    flat = [w for ws in doc_feats for w in ws]
     wh = H.hash_words_u64(flat)
-    offs = np.concatenate(([0], np.cumsum([len(ws) for ws in doc_words],
+    offs = np.concatenate(([0], np.cumsum([len(ws) for ws in doc_feats],
                                           dtype=np.int64)))
     rows_id, rows_key, rows_sig = [], [], []
     for i, doc_id in enumerate(batch["doc_id"]):
-        sig = H.minhash_signature(H.shingle_hashes(wh[offs[i]:offs[i + 1]]))
+        feats = wh[offs[i]:offs[i + 1]]
+        sig = H.minhash_signature(H.shingle_hashes(feats) if features == "word"
+                                  else feats)
         sig_bytes = sig.tobytes()
         for key in H.minhash_bands(sig):
             rows_id.append(doc_id)
@@ -185,11 +197,13 @@ def _dedup_pairs_distributed(pairs: ray.data.Dataset,
         [(k, "ascending") for k in keys])
 
 
-def minhash_candidate_pairs(ds: ray.data.Dataset, est_threshold: float = 0.7) -> pa.Table:
+def minhash_candidate_pairs(ds: ray.data.Dataset, est_threshold: float = 0.7,
+                            features: str = "word") -> pa.Table:
     """shingle -> minhash -> band -> bucket groupby -> in-bucket pairs,
     deduped across bands with a second keyed groupby (a pair can fire in
     several bands)."""
-    bands = ds.map_batches(_minhash_stage, batch_format="pandas")
+    bands = ds.map_batches(lambda b: _minhash_stage(b, features),
+                           batch_format="pandas")
     pairs = bands.groupby("coarse").map_groups(
         lambda g: _bucket_pairs(g, est_threshold), batch_format="pandas")
     return _dedup_pairs_distributed(
@@ -201,14 +215,23 @@ def q_dedup_minhash(sf_dir: str) -> pa.Table:
     return minhash_candidate_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
 
 
+NGRAM_VERIFY_THRESHOLD = 0.8
+
+
 def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
     """LSH candidates verified with true char-3-gram Jaccard (the classic
     candidate->verify pattern). Candidate texts are gathered with a
     DISTRIBUTED semi-join (broadcast candidate-id set, per-batch
     ``is_in`` filter) so the driver only ever receives rows bounded by the
-    candidate count — the output size."""
+    candidate count — the output size.
+
+    Verify threshold 0.8: same-vocabulary documents share enough common
+    trigrams that 0.6 admits thousands of accidental pairs; at 0.8 the
+    accidental ceiling is ~0.75 on every test corpus, so the verified set
+    equals ground truth and the all-pairs SQL oracle (SQL_DEDUP_NGRAM)
+    checks LSH recall exactly."""
     cands = minhash_candidate_pairs(_docs(sf_dir, columns=["doc_id", "text"]),
-                                    est_threshold=0.5)
+                                    est_threshold=0.5, features="char")
     if cands.num_rows == 0:
         return pa.table({"doc_a": pa.array([], pa.int64()),
                          "doc_b": pa.array([], pa.int64()),
@@ -226,7 +249,7 @@ def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
     rows = []
     for a, b in zip(cands.column("doc_a").to_pylist(), cands.column("doc_b").to_pylist()):
         j = H.ngram_jaccard(text_of[a], text_of[b])
-        if j >= 0.6:
+        if j >= NGRAM_VERIFY_THRESHOLD:
             rows.append((a, b, float(round6(j))))
     if not rows:
         return pa.table({"doc_a": pa.array([], pa.int64()),
@@ -1040,10 +1063,51 @@ SELECT host, count(*) AS n_granted, ROUND(min(gap), 6) AS min_gap_s
 FROM gaps GROUP BY host ORDER BY host
 """
 
+# Projection identity over the crawl's own parquet output: pins schema,
+# row count and every scalar value of the posts table across engine
+# changes (the byte-identical-extraction sweep in tests pins the VALUES
+# against the independent corpus oracle; this pins the persisted table).
+SQL_CRAWL_POSTS = f"""
+SELECT url, title, body, site, keyword, author, created_at,
+       view_count, like_count, discovered_seq
+FROM read_parquet('{_CRAWL01}/posts/*.parquet')
+ORDER BY url
+"""
+
+# True all-pairs char-3-gram jaccard in SQL. The engine path is
+# LSH-candidates (word-shingle minhash est>=0.5) verified with the TRUE
+# 3-gram jaccard at 0.8 — the oracle checks both the verifier math and
+# that LSH recall is total on this corpus (a pair the bands missed would
+# show up as an oracle-only row). Docs shorter than 3 chars (absent from
+# the corpora) are the one semantic gap vs char_ngrams' whole-string
+# fallback.
+SQL_DEDUP_NGRAM = """
+WITH grams AS (
+    SELECT DISTINCT doc_id, substr(lower(text), CAST(i AS BIGINT), 3) AS gram
+    FROM documents, unnest(range(1, length(text) - 1)) AS t(i)
+    WHERE length(text) >= 3
+), counts AS (
+    SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM grams a JOIN grams b ON a.gram = b.gram AND b.doc_id > a.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(i * 1.0 / (ca.n + cb.n - i), 6) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = inter.doc_a
+JOIN counts cb ON cb.doc_id = inter.doc_b
+WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
 ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "comments_exploded": SQL_COMMENTS_EXPLODED,
     "politeness_summary": SQL_POLITENESS_SUMMARY,
+    "crawl_posts": SQL_CRAWL_POSTS,
+    "dedup_ngram_verified": SQL_DEDUP_NGRAM,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_topk": SQL_ANN_TOPK,
     "langid": SQL_LANGID,
