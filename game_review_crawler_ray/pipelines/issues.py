@@ -315,7 +315,7 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
        merged on the driver.
     """
     scored = posts.map_batches(
-        _PostScore, concurrency=(2, 8), batch_format="pandas",
+        _PostScore, concurrency=(2, 32), batch_format="pandas",
         fn_constructor_kwargs={"with_tokens": True}).materialize()
 
     # --- pass 1: global scalars (A1/A2 + maxes + max_ts) ---
@@ -354,7 +354,7 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
 
     # --- pass 2: per-cluster partials over the enriched posts ---
     cparts_ds = scored.map_batches(
-        _ClusterPartials, concurrency=(2, 8), batch_format="pandas",
+        _ClusterPartials, concurrency=(2, 32), batch_format="pandas",
         fn_constructor_kwargs={"top_ref": ray.put(set(kws)),
                                "kw_cluster_ref": ray.put(kw_cluster),
                                "cutoff": urgent_cut})
@@ -512,7 +512,7 @@ class CombinedSentiment:
 
 
 def combined_post_sentiment(posts: ray.data.Dataset) -> ray.data.Dataset:
-    return posts.map_batches(CombinedSentiment, concurrency=(2, 8),
+    return posts.map_batches(CombinedSentiment, concurrency=(2, 32),
                              batch_format="pyarrow")
 
 
@@ -665,7 +665,7 @@ def hot_posts_direct(posts: ray.data.Dataset, k_cap: int = 20) -> pa.Table:
     a fraction of the cost — tokenizing every post for this query was the
     single slowest bench row in round 2."""
     scored = posts.map_batches(
-        _PostScore, concurrency=(2, 8), batch_format="pandas",
+        _PostScore, concurrency=(2, 32), batch_format="pandas",
         fn_constructor_kwargs={"with_tokens": False}).materialize()
     gparts = [t for t in ray.get(
         scored.map_batches(_global_stats_partial, batch_format="pandas")
