@@ -41,20 +41,23 @@ def q_dedup_exact(sf_dir: str) -> pa.Table:
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"].values,
-            "h": [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]],
-        })
+        hs = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"]]
+        # shuffle on hash(md5) % N_COARSE, not the raw md5: one Ray group
+        # per distinct document is the slow shape (see _bucket_bounds);
+        # all copies of a text still land in one partition
+        ck = np.fromiter((int(h[:15], 16) for h in hs), dtype=np.int64,
+                         count=len(hs)) % N_COARSE
+        return pd.DataFrame({"doc_id": batch["doc_id"].values, "h": hs,
+                             "coarse": ck})
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        return pa.table({
-            "doc_id": pa.array([int(ids.min())], pa.int64()),
-            "dup_count": pa.array([len(ids)], pa.int64()),
-        })
+    def keep_first(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.groupby("h", sort=False)["doc_id"]
+        return pd.DataFrame({"doc_id": g.min().to_numpy(dtype=np.int64),
+                             "dup_count": g.size().to_numpy(dtype=np.int64)})
 
     hashed = ds.map_batches(add_hash, batch_format="pandas")
-    groups = hashed.groupby("h").map_groups(keep_first, batch_format="pyarrow")
+    groups = hashed.groupby("coarse").map_groups(keep_first,
+                                                 batch_format="pandas")
     return _collect(groups).sort_by("doc_id")
 
 
