@@ -12,6 +12,14 @@ which equals the canonical corpus URL's hash). A live deployment swaps
 reference's session/UA/encoding logic, content_crawler.py:69-178, is
 network-bound and cannot run in this sandbox: see ``HttpFetcher`` stub).
 
+Scale boundary: the whole-corpus ``ray.put`` is a SIMULATION-HARNESS
+artifact, not a pipeline stage — the "web" has to live somewhere for
+fetch-as-lookup to be meaningful, and one zero-copy object-store entry
+shared by every actor on the node is the cheapest place. It bounds the
+simulated corpus to node RAM (~100 GB); at real scale the fetcher is
+HTTP and nothing corpus-sized is materialized anywhere. No other stage
+of the crawl pipeline materializes a dataset-sized object.
+
 When ``rate_limited`` is configured (tests), the stage drops to a per-row
 path that simulates HTTP 429s against the frontier's backoff state machine.
 """
