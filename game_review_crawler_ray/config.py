@@ -42,6 +42,11 @@ class CrawlConfig:
     # ~10^8 seeds) or "raydata" (annotate/dedup/sort all as Ray Data
     # operators — the >10^8 scale path; see prep_seed_blocks_raydata)
     seed_prep: str = "driver"
+    # minimum seed blocks per CPU: small corpora (blocks ~ parallelism)
+    # otherwise run as ONE task wave whose makespan is the SLOWEST block
+    # (shard-size skew makes blocks uneven); ~3 waves lets the scheduler
+    # pack around the skew. Large corpora ignore this (8k-row cap rules).
+    min_blocks_per_cpu: int = 3
     bloom_capacity: int = 1 << 20      # per-shard expected insertions
     bloom_fpp: float = 1e-4
     # virtual politeness clock: grant times are simulated deterministically

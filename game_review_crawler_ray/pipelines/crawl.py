@@ -62,7 +62,12 @@ def make_frontier(cfg: CrawlConfig, checkpoint_dir: str | None = None):
     Actor = ray.remote(num_cpus=0)(FrontierShard)
     shards = [Actor.remote(i, cfg) for i in range(cfg.num_frontier_shards)]
     if checkpoint_dir:
-        ray.get([s.set_checkpoint_dir.remote(checkpoint_dir) for s in shards])
+        # no ray.get: per-caller FIFO ordering guarantees this executes
+        # before any later driver-submitted offer on the same actor, so
+        # actor construction (~0.9s for 16 processes) overlaps seed prep
+        # instead of blocking the driver here.
+        for s in shards:
+            s.set_checkpoint_dir.remote(checkpoint_dir)
     return shards
 
 
@@ -133,8 +138,12 @@ def frontier_offer_fn(frontier, num_shards: int):
         uniq = np.unique(shard_ids)
         if len(uniq) == 1:
             # shard-aligned block (prep_seed_blocks layout): one RPC
-            tables = [_grant_to_table(
-                batch, ray.get(frontier[int(uniq[0])].offer.remote(batch)))]
+            _t1 = time.perf_counter()
+            grant = ray.get(frontier[int(uniq[0])].offer.remote(batch))
+            _t2 = time.perf_counter()
+            tables = [_grant_to_table(batch, grant)]
+            if os.environ.get("GRC_TIMING"):
+                print(f"[offer_rpc] {len(hosts)} rows {_t2-_t1:.3f}s")
         else:
             subs, refs = [], []
             for s in uniq:
@@ -208,7 +217,7 @@ def write_fetch_log_fn(log_dir: str, num_shards: int, run_id: str = "r0"):
 
 
 def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
-                     exact_dedup: bool = True) -> ray.data.Dataset:
+                     exact_dedup: bool = True, return_refs: bool = False):
     """Seed prep: annotate, exact first-wins dedup, sort by (frontier
     shard, seed_rank), emit shard-aligned blocks.
 
@@ -272,11 +281,14 @@ def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
     # block lands near 8k rows — the measured sweet spot: blocks carry
     # ~2KB/row of html downstream (bigger blows worker heaps), while
     # halving block size costs ~30% throughput in per-task overhead
-    # floor: at least one block per worker (n_groups*num_shards >= cpus),
-    # else small corpora leave workers idle in a single task wave
+    # floor: ~min_blocks_per_cpu blocks per worker — one block per worker
+    # runs small corpora as a single task wave whose makespan is the
+    # SLOWEST block (shard-size skew makes blocks uneven; measured 5.0s
+    # vs ~2s of mean work at 100k pages/32 cpus), a few waves let the
+    # scheduler pack around the skew
     n_groups = int(np.clip(
         max(round(seeds.num_rows / (8192 * num_shards)),
-            -(-parallelism // num_shards)),
+            -(-cfg.min_blocks_per_cpu * parallelism // num_shards)),
         1, n_slices))
     groups = np.array_split(np.arange(n_slices), n_groups)
     wave2 = []
@@ -291,7 +303,18 @@ def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
     # shard's rows (single-RPC offers) and blocks within a shard keep
     # global seed order
     ordered = [wave2[g][s] for s in range(num_shards) for g in range(len(wave2))]
+    if return_refs:
+        shard_of_ref = [s for s in range(num_shards) for _ in range(len(wave2))]
+        return ordered, shard_of_ref
     return ray.data.from_arrow_refs(ordered)
+
+
+@ray.remote
+def _apply_grant(block: pa.Table, grant: dict) -> pa.Table:
+    """Pair a seed block with its (already computed) grant response."""
+    if len(grant["idx"]) == 0:
+        return _empty_grant(block)
+    return _grant_to_table(block, grant)
 
 
 def prep_seed_blocks_raydata(seeds, cfg: CrawlConfig, parallelism: int,
@@ -491,19 +514,38 @@ def run_crawl(
         _mark("corpus_put")
 
     try:
+        pre_granted = False
         if cfg.seed_prep == "raydata":
             # >10^8-seed scale path: every prep step is a Ray Data
             # operator (see prep_seed_blocks_raydata)
             ds = prep_seed_blocks_raydata(seeds, cfg, parallelism or 64,
                                           exact_dedup=cfg.seen_exact)
-        elif isinstance(seeds, pa.Table):
+        elif isinstance(seeds, pa.Table) and cfg.virtual_clock \
+                and not rate_limited:
             # seed prep (annotate + exact first-wins dedup + shard-aligned
             # block layout) happens up front: the seed table is tiny relative
-            # to the pages it fans out to. Shard-aligned blocks mean each
-            # block's frontier offer is ONE actor call — without alignment
-            # every block RPCs every shard and the pipeline convoys on the
-            # frontier. At 10^10-seed scale this prep is itself a Ray Data
-            # job (sort by shard key); the per-block offer stays single-RPC.
+            # to the pages it fans out to. With the VIRTUAL politeness clock
+            # grants are deterministic, so the driver fires every shard
+            # offer asynchronously right here (per-shard arrival order ==
+            # seed order, exactly the serial reference's) and the pipeline
+            # starts from already-granted blocks. Measured motivation: an
+            # in-pipeline offer's ray.get holds a CPU slot idle ~370ms per
+            # block while all cores run parse (7ms of actor work) — at 100k
+            # pages/32cpus that wait was ~25% of wall. A live deployment
+            # (virtual_clock=False) keeps the streaming offer stage, where
+            # real time must elapse between grants.
+            refs, ref_shards = prep_seed_blocks(seeds, cfg, parallelism or 64,
+                                                exact_dedup=cfg.seen_exact,
+                                                return_refs=True)
+            grant_refs = [frontier[s].offer.remote(r)
+                          for r, s in zip(refs, ref_shards)]
+            ds = ray.data.from_arrow_refs(
+                [_apply_grant.remote(r, g) for r, g in zip(refs, grant_refs)])
+            pre_granted = True
+        elif isinstance(seeds, pa.Table):
+            # interactive-politeness path (simulated 429s / live clock):
+            # offers stay a streaming stage so backoff state evolves with
+            # the pipeline. Shard-aligned blocks keep each offer ONE RPC.
             ds = prep_seed_blocks(seeds, cfg, parallelism or 64,
                                   exact_dedup=cfg.seen_exact)
         else:
@@ -513,8 +555,10 @@ def run_crawl(
                 ds = ds.materialize()
                 ds = dedup_first_wins(ds)
         _mark("seeds_prep")
-        ds = ds.map_batches(frontier_offer_fn(frontier, cfg.num_frontier_shards),
-                            batch_format="pyarrow")
+        if not pre_granted:
+            ds = ds.map_batches(frontier_offer_fn(frontier,
+                                                  cfg.num_frontier_shards),
+                                batch_format="pyarrow")
         from ..stages.fetch import make_corpus_fetch_fn
 
         ds = ds.map_batches(
