@@ -86,18 +86,6 @@ class HostState:
 
 class FrontierShard:
     def __init__(self, shard_id: int, config: CrawlConfig | None = None):
-        # Frontier shards are num_cpus=0 RPC state holders; when every core
-        # runs a CPU-bound map task the OS scheduler starves them and a 7ms
-        # offer takes ~370ms wall (measured, 100k-page bench) — the caller
-        # holds its CPU slot idle the whole time. A priority boost restores
-        # prompt dequeue; harmless where unprivileged. On a multi-node
-        # deployment frontier shards live on scheduler nodes instead.
-        try:
-            import os as _os
-
-            _os.nice(-5)
-        except (OSError, PermissionError):  # pragma: no cover - non-root
-            pass
         self.shard_id = shard_id
         self.cfg = config or CrawlConfig()
         if self.cfg.seen_exact:
