@@ -310,11 +310,71 @@ def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
 
 
 @ray.remote
-def _apply_grant(block: pa.Table, grant: dict) -> pa.Table:
-    """Pair a seed block with its (already computed) grant response."""
-    if len(grant["idx"]) == 0:
-        return _empty_grant(block)
-    return _grant_to_table(block, grant)
+def _concat_grants(*grants: dict) -> dict:
+    """Merge per-block grant responses into one url_hash-sorted lookup.
+
+    Compact fixed-width arrays only: 32 B per granted seed (~110 MB at 3M
+    seeds) — one broadcast object, zero-copy-shared per node. This bounds
+    the pre-offered-grant path to seed sets whose grant metadata fits a
+    worker heap (~10^9 seeds); beyond that use the streaming offer stage
+    (cfg.virtual_clock=False semantics) or the raydata seed-prep path.
+    """
+    h = np.concatenate([g["url_hash"] for g in grants]) if grants else \
+        np.empty(0, dtype=np.uint64)
+    order = np.argsort(h, kind="stable")
+    return {
+        "url_hash": h[order],
+        "grant_seq": np.concatenate(
+            [g["grant_seq"] for g in grants])[order] if grants else
+            np.empty(0, dtype=np.int64),
+        "sched_s": np.concatenate(
+            [g["sched_s"] for g in grants])[order] if grants else
+            np.empty(0, dtype=np.float64),
+        "wait_s": np.concatenate(
+            [g["wait_s"] for g in grants])[order] if grants else
+            np.empty(0, dtype=np.float64),
+    }
+
+
+def apply_grants_fn(grants_ref):
+    """First pipeline stage of the pre-offered-grant path: join each seed
+    block against the broadcast grant lookup by url_hash (position-free, so
+    it is correct under any Ray Data batching/splitting of input blocks).
+    Rows absent from the lookup were denied (dup/robots/suspended) and were
+    already logged shard-side; they drop here exactly as the streaming
+    offer stage drops them."""
+    cache: dict = {}
+
+    def apply(batch: pa.Table) -> pa.Table:
+        g = cache.get("g")
+        if g is None:
+            g = cache["g"] = ray.get(grants_ref)
+        if batch.num_rows == 0:
+            return _empty_grant(batch)
+        hashes = np.asarray(
+            batch.column("url_hash").to_numpy(zero_copy_only=False),
+            dtype=np.uint64)
+        gh = g["url_hash"]
+        pos = np.searchsorted(gh, hashes)
+        pos_clip = np.minimum(pos, max(len(gh) - 1, 0))
+        found = (gh[pos_clip] == hashes) if len(gh) else \
+            np.zeros(len(hashes), dtype=bool)
+        if not found.any():
+            return _empty_grant(batch)
+        taken = batch.filter(pa.array(found))
+        names = ["discovered_seq" if n == "seed_rank" else n
+                 for n in taken.column_names]
+        taken = taken.rename_columns(names)
+        sel = pos_clip[found]
+        return (taken
+                .append_column("grant_seq",
+                               pa.array(g["grant_seq"][sel], pa.int64()))
+                .append_column("sched_s",
+                               pa.array(g["sched_s"][sel], pa.float64()))
+                .append_column("wait_s",
+                               pa.array(g["wait_s"][sel], pa.float64())))
+
+    return apply
 
 
 def prep_seed_blocks_raydata(seeds, cfg: CrawlConfig, parallelism: int,
@@ -537,10 +597,15 @@ def run_crawl(
             refs, ref_shards = prep_seed_blocks(seeds, cfg, parallelism or 64,
                                                 exact_dedup=cfg.seen_exact,
                                                 return_refs=True)
-            grant_refs = [frontier[s].offer.remote(r)
+            grant_refs = [frontier[s].offer.remote(r, True)
                           for r, s in zip(refs, ref_shards)]
-            ds = ray.data.from_arrow_refs(
-                [_apply_grant.remote(r, g) for r, g in zip(refs, grant_refs)])
+            grants_ref = _concat_grants.remote(*grant_refs)
+            # from_arrow_refs blocks only on the cheap wave-2 split tasks;
+            # grant computation overlaps pipeline startup, and the first
+            # map stage joins by hash against the broadcast lookup.
+            ds = ray.data.from_arrow_refs(refs)
+            ds = ds.map_batches(apply_grants_fn(grants_ref),
+                                batch_format="pyarrow")
             pre_granted = True
         elif isinstance(seeds, pa.Table):
             # interactive-politeness path (simulated 429s / live clock):

@@ -147,7 +147,7 @@ class FrontierShard:
         os.makedirs(path, exist_ok=True)
 
     # ------------------------------------------------------------------
-    def offer(self, batch: pa.Table) -> dict:
+    def offer(self, batch: pa.Table, echo_hash: bool = False) -> dict:
         """Admit a batch of candidate URLs; return a compact grant.
 
         Input columns: url, url_norm, host, url_hash, seed_rank, keyword.
@@ -202,12 +202,18 @@ class FrontierShard:
         if _os.environ.get("GRC_TIMING"):
             print(f"[shard{self.shard_id}] offer {batch.num_rows} rows "
                   f"{_t.perf_counter() - _t0:.3f}s")
-        return {
+        out = {
             "idx": idx_out[:m],
             "grant_seq": grant_out[:m],
             "sched_s": sched_out[:m],
             "wait_s": wait_out[:m],
         }
+        if echo_hash:
+            # pre-offered-grant mode (crawl.py): the caller joins grants
+            # back to rows by url_hash instead of by batch position, so the
+            # response must identify granted rows position-independently.
+            out["url_hash"] = hashes[idx_out[:m]]
+        return out
 
     def _robots_allowed_lazy(self, host: str, batch: pa.Table, i: int) -> bool:
         # robots rules are matched against the NORMALIZED url's path, the
