@@ -181,3 +181,26 @@ def test_load_fetch_log_resolution_is_file_order_independent(tmp_path):
     log = load_fetch_log(str(tmp_path)).to_pylist()
     assert len(log) == 1
     assert log[0]["grant_seq"] == 5 and log[0]["status"] == "ok"
+
+
+def test_bloom_mode_no_duplicate_fetches(tmp_path, corpus):
+    """seen_exact=False: the frontier's bloom shards are the ONLY dedup
+    line (seed prep skips the exact first-wins pass). Feeding every seed
+    twice must still fetch each URL at most once — this pins the gate that
+    keeps the pre-offered-grant hash join off in bloom mode, where a
+    shard-denied dup row would otherwise match its original's grant and be
+    fetched twice."""
+    pages, expected, seeds = corpus
+    shifted = seeds.set_column(
+        seeds.schema.get_field_index("seed_rank"), "seed_rank",
+        pc.add(seeds.column("seed_rank"),
+               pa.scalar(seeds.num_rows, pa.int64())))
+    dup = pa.concat_tables([seeds, shifted])
+    cfg = CrawlConfig(num_frontier_shards=3, fetch_concurrency=2,
+                      seen_exact=False)
+    res = run_crawl(pages, dup, str(tmp_path / "out"), cfg)
+    posts = _read_posts(res)
+    urls = posts.column("url").to_pylist()
+    assert len(urls) == len(set(urls))
+    exp_ok = {u for u, e in expected.items() if e is not None}
+    assert set(urls) == exp_ok
