@@ -601,9 +601,11 @@ def run_crawl(
             refs, ref_shards = prep_seed_blocks(seeds, cfg, parallelism or 64,
                                                 exact_dedup=cfg.seen_exact,
                                                 return_refs=True)
+            _mark("seeds_prep_waves")
             grant_refs = [frontier[s].offer.remote(r, True)
                           for r, s in zip(refs, ref_shards)]
             grants_ref = _concat_grants.remote(*grant_refs)
+            _mark("seeds_prep_offers")
             # from_arrow_refs blocks only on the cheap wave-2 split tasks;
             # grant computation overlaps pipeline startup, and the first
             # map stage joins by hash against the broadcast lookup.

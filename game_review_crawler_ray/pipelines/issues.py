@@ -162,6 +162,26 @@ class _PostScore:
         return out
 
 
+_POSTSCORE_MEMO: dict = {}
+
+
+def post_score_fn(with_tokens: bool = False, n_keep: int = 100):
+    """Task-pool form of ``_PostScore``: the scorer is memoized in worker
+    module state (construction is just two lexicon dicts), so the stage
+    needs no actor pool — measured ~2s of (2,32)-actor spin-up per query
+    on an otherwise ~3s pipeline."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        key = (with_tokens, n_keep)
+        inst = _POSTSCORE_MEMO.get(key)
+        if inst is None:
+            inst = _POSTSCORE_MEMO[key] = _PostScore(
+                with_tokens=with_tokens, n_keep=n_keep)
+        return inst(batch)
+
+    return fn
+
+
 def _post_keywords_stage(_unused=None, n_keep: int = 100):
     """Per-block partial counts of per-post top-100 keyword membership
     (keyword_extractor.py:219-249 Counter-over-lists semantics)."""
@@ -315,8 +335,8 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
        merged on the driver.
     """
     scored = posts.map_batches(
-        _PostScore, concurrency=(2, 32), batch_format="pandas",
-        fn_constructor_kwargs={"with_tokens": True}).materialize()
+        post_score_fn(with_tokens=True),
+        batch_format="pandas").materialize()
 
     # --- pass 1: global scalars (A1/A2 + maxes + max_ts) ---
     gparts = [t for t in ray.get(
@@ -665,8 +685,8 @@ def hot_posts_direct(posts: ray.data.Dataset, k_cap: int = 20) -> pa.Table:
     a fraction of the cost — tokenizing every post for this query was the
     single slowest bench row in round 2."""
     scored = posts.map_batches(
-        _PostScore, concurrency=(2, 32), batch_format="pandas",
-        fn_constructor_kwargs={"with_tokens": False}).materialize()
+        post_score_fn(with_tokens=False),
+        batch_format="pandas").materialize()
     gparts = [t for t in ray.get(
         scored.map_batches(_global_stats_partial, batch_format="pandas")
         .to_arrow_refs()) if t.num_rows]
