@@ -47,6 +47,11 @@ class CrawlConfig:
     # (shard-size skew makes blocks uneven); ~3 waves lets the scheduler
     # pack around the skew. Large corpora ignore this (8k-row cap rules).
     min_blocks_per_cpu: int = 3
+    # pre-offer all grants from the driver when the virtual clock makes
+    # them deterministic (no actor RPC inside the fused pipeline). False
+    # forces the streaming offer stage; outputs are identical (pinned by
+    # tests/test_crawl_e2e.py equivalence test).
+    pre_grant: bool = True
     bloom_capacity: int = 1 << 20      # per-shard expected insertions
     bloom_fpp: float = 1e-4
     # virtual politeness clock: grant times are simulated deterministically

@@ -581,7 +581,7 @@ def run_crawl(
             ds = prep_seed_blocks_raydata(seeds, cfg, parallelism or 64,
                                           exact_dedup=cfg.seen_exact)
         elif isinstance(seeds, pa.Table) and cfg.virtual_clock \
-                and cfg.seen_exact and not rate_limited:
+                and cfg.seen_exact and cfg.pre_grant and not rate_limited:
             # (seen_exact gate: the url_hash join treats hash equality as
             # identity, which is only bijective after the exact prep dedup;
             # in bloom mode a dup seed denied shard-side would still match

@@ -204,3 +204,29 @@ def test_bloom_mode_no_duplicate_fetches(tmp_path, corpus):
     assert len(urls) == len(set(urls))
     exp_ok = {u for u, e in expected.items() if e is not None}
     assert set(urls) == exp_ok
+
+
+def test_pre_grant_equals_streaming_offers(tmp_path, corpus):
+    """The pre-offered-grant path (driver fires offers, pipeline joins by
+    url_hash) must produce EXACTLY the streaming offer stage's output:
+    same granted set, same grant_seq/politeness schedule, same lineage."""
+    pages, expected, seeds = corpus
+
+    outs = {}
+    for mode, pre in (("pre", True), ("stream", False)):
+        cfg = CrawlConfig(num_frontier_shards=3, fetch_concurrency=2,
+                          pre_grant=pre)
+        res = run_crawl(pages, seeds, str(tmp_path / mode), cfg)
+        posts = _read_posts(res).to_pandas().sort_values("url")
+        log = load_fetch_log(res["fetch_log_dir"]).to_pandas() \
+            .sort_values("url_norm")
+        outs[mode] = (posts, log)
+
+    p1, l1 = outs["pre"]
+    p2, l2 = outs["stream"]
+    assert list(p1["url"]) == list(p2["url"])
+    for col in ("title", "body", "view_count"):
+        assert list(p1[col]) == list(p2[col])
+    for col in ("url_norm", "host", "status", "grant_seq",
+                "discovered_seq", "wait_s", "fetch_ts"):
+        assert list(l1[col]) == list(l2[col]), col
