@@ -165,6 +165,23 @@ class _PostScore:
 _POSTSCORE_MEMO: dict = {}
 
 
+def cluster_partials_fn(top_ref, kw_cluster_ref, cutoff):
+    """Task-pool form of ``_ClusterPartials``: instance memoized per worker
+    keyed by the broadcast refs (the derefs are a <=50-keyword set/map)."""
+
+    def fn(batch: pd.DataFrame) -> pd.DataFrame:
+        key = ("cluster", top_ref.hex(), kw_cluster_ref.hex(), str(cutoff))
+        inst = _POSTSCORE_MEMO.get(key)
+        if inst is None:
+            if len(_POSTSCORE_MEMO) > 8:
+                _POSTSCORE_MEMO.clear()
+            inst = _POSTSCORE_MEMO[key] = _ClusterPartials(
+                top_ref, kw_cluster_ref, cutoff)
+        return inst(batch)
+
+    return fn
+
+
 def post_score_fn(with_tokens: bool = False, n_keep: int = 100):
     """Task-pool form of ``_PostScore``: the scorer is memoized in worker
     module state (construction is just two lexicon dicts), so the stage
@@ -374,10 +391,9 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
 
     # --- pass 2: per-cluster partials over the enriched posts ---
     cparts_ds = scored.map_batches(
-        _ClusterPartials, concurrency=(2, 32), batch_format="pandas",
-        fn_constructor_kwargs={"top_ref": ray.put(set(kws)),
-                               "kw_cluster_ref": ray.put(kw_cluster),
-                               "cutoff": urgent_cut})
+        cluster_partials_fn(ray.put(set(kws)), ray.put(kw_cluster),
+                            urgent_cut),
+        batch_format="pandas")
     cstats: dict[str, list] = {}
     for t in ray.get(cparts_ds.to_arrow_refs()):
         if not t.num_rows:
@@ -531,9 +547,22 @@ class CombinedSentiment:
         })
 
 
+def combined_sentiment_fn():
+    """Task-pool form of ``CombinedSentiment`` (scorer memoized per worker
+    — same rationale as ``post_score_fn``: the (2,32) actor pool's spin-up
+    dominated the ~3s query)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        inst = _POSTSCORE_MEMO.get("combined")
+        if inst is None:
+            inst = _POSTSCORE_MEMO["combined"] = CombinedSentiment()
+        return inst(batch)
+
+    return fn
+
+
 def combined_post_sentiment(posts: ray.data.Dataset) -> ray.data.Dataset:
-    return posts.map_batches(CombinedSentiment, concurrency=(2, 32),
-                             batch_format="pyarrow")
+    return posts.map_batches(combined_sentiment_fn(), batch_format="pyarrow")
 
 
 def q_combined_sentiment(sf_dir: str) -> pa.Table:
