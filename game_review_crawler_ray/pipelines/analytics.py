@@ -23,6 +23,8 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
+from ..functions.stageutil import memoized_stage
+
 # ---------------------------------------------------------------------------
 # English lexicon for the documents table (the reference's Korean lexicon —
 # crawler/analysis/lexicon/*.txt — applies to the crawl-posts pipeline; the
@@ -168,7 +170,8 @@ def _sent_sql_base() -> str:
 
 def q_sentiment_scores(sf_dir: str) -> pa.Table:
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    out = ds.map_batches(SentimentScorer, concurrency=(2, 8), batch_format="pandas")
+    out = ds.map_batches(memoized_stage("sentiment", SentimentScorer),
+                      batch_format="pandas")
     return _collect(out).sort_by("doc_id")
 
 
@@ -183,7 +186,8 @@ FROM scored ORDER BY doc_id
 
 def q_sentiment_distribution(sf_dir: str) -> pa.Table:
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    scored = ds.map_batches(SentimentScorer, concurrency=(2, 8), batch_format="pandas")
+    scored = ds.map_batches(memoized_stage("sentiment", SentimentScorer),
+                      batch_format="pandas")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:  # combiner before groupby
         return batch.groupby("label", as_index=False).agg(n=("doc_id", "size"))
@@ -204,7 +208,8 @@ FROM scored GROUP BY 1 ORDER BY label
 
 def q_sentiment_avg(sf_dir: str) -> pa.Table:
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    scored = ds.map_batches(SentimentScorer, concurrency=(2, 8), batch_format="pandas")
+    scored = ds.map_batches(memoized_stage("sentiment", SentimentScorer),
+                      batch_format="pandas")
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"s": [batch["score"].sum()], "n": [len(batch)]})
@@ -224,7 +229,8 @@ SELECT ROUND(avg(ROUND(raw_score, 6)), 6) AS avg_score, count(*) AS n_docs FROM 
 def q_negative_docs(sf_dir: str) -> pa.Table:
     """filter_negative_posts (sentiment.py:289-312), threshold -0.3."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    scored = ds.map_batches(SentimentScorer, concurrency=(2, 8), batch_format="pandas")
+    scored = ds.map_batches(memoized_stage("sentiment", SentimentScorer),
+                      batch_format="pandas")
     neg = scored.filter(expr="score < -0.3")
     t = _collect(neg)
     return t.select(["doc_id", "score"]).sort_by("doc_id")

@@ -299,7 +299,10 @@ def q_filter_posts_negative(sf_dir: str) -> pa.Table:
             return out
 
     ds = _posts(sf_dir, columns=["url", "title", "body"])
-    scored = ds.map_batches(Score, concurrency=(2, 8), batch_format="pandas")
+    from ..functions.stageutil import memoized_stage
+
+    scored = ds.map_batches(memoized_stage("filters_score", Score),
+                            batch_format="pandas")
     neg = filter_by_sentiment(scored, SentimentFilter.NEGATIVE)
     return _collect(neg).select(["url", "score"]).sort_by("url")
 

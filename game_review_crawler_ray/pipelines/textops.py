@@ -452,7 +452,9 @@ def embedding_neardup_pairs(ds: ray.data.Dataset,
     Same pipeline shape as the MinHash dedup. P(missing a cos>=0.9 pair)
     ~ 2e-5 with 32x8-bit bands (~1e-11 at planted-dup similarity); the
     brute-force baseline below it is the exactness oracle in tests."""
-    bands = ds.map_batches(_LshBandStage, concurrency=(2, 8),
+    from ..functions.stageutil import memoized_stage
+
+    bands = ds.map_batches(memoized_stage("lsh_band", _LshBandStage),
                            batch_format="pyarrow")
     pairs = bands.groupby("coarse").map_groups(
         lambda g: _emb_bucket_pairs(g, threshold), batch_format="pandas")
