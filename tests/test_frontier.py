@@ -226,3 +226,48 @@ def test_priority_queue_respects_limit_and_suspension():
     g2 = sh.drain(limit=10)
     assert g2.num_rows == 0
     assert sh.queue_depth() == 0
+
+
+def test_apply_grants_fn_is_position_free():
+    """The pre-grant join must be correct under ANY Ray Data batching:
+    bundled blocks, reordered rows, rows from several shards mixed."""
+    import ray
+
+    from game_review_crawler_ray.pipelines.crawl import (
+        _concat_grants, apply_grants_fn)
+
+    urls = [f"https://h{i % 4}.example.com/p{i}" for i in range(40)]
+    batch = annotate_urls(pa.table({
+        "url": urls, "seed_rank": list(range(40)), "keyword": ["k"] * 40}))
+    cfg = CrawlConfig(num_frontier_shards=1)
+    shard = FrontierShard(0, cfg)
+    # two block-sized offers, as the driver would fire them
+    g1 = shard.offer(batch.slice(0, 25), True)
+    g2 = shard.offer(batch.slice(25), True)
+    grants_ref = _concat_grants.remote(g1, g2)
+    apply = apply_grants_fn(grants_ref)
+
+    # bundled + reversed batch spanning both original blocks
+    shuffled = batch.take(pa.array(list(reversed(range(40)))))
+    out = apply(shuffled)
+    assert out.num_rows == 40  # all unique -> all granted
+    # each row carries ITS OWN grant: rebuild expected map from responses
+    expected = {}
+    for g, base in ((g1, 0), (g2, 25)):
+        for j, i in enumerate(g["idx"]):
+            expected[base + int(i)] = (int(g["grant_seq"][j]),
+                                       float(g["sched_s"][j]))
+    got = {int(r["discovered_seq"]): (int(r["grant_seq"]),
+                                      float(r["sched_s"]))
+           for r in out.to_pylist()}
+    assert got == expected
+
+    # a duplicate-of-granted row (same url_hash) was denied by the shard;
+    # in exact mode prep removes it before blocks form, so the join only
+    # ever sees each hash once — but an all-denied batch must come back
+    # empty with the grant schema
+    dup = shard.offer(batch.slice(0, 5), True)
+    assert len(dup["idx"]) == 0
+    empty = apply(batch.slice(0, 0))
+    assert empty.num_rows == 0
+    assert "grant_seq" in empty.column_names
