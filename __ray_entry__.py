@@ -30,7 +30,7 @@ def entry() -> Any:
     """Flagship crawl on a deterministic sf0.001-scale corpus."""
     from game_review_crawler_ray.config import CrawlConfig
     from game_review_crawler_ray.pipelines.crawl import run_crawl
-    from game_review_crawler_ray.sources.corpus import ensure_corpus, gen_pages
+    from game_review_crawler_ray.sources.corpus import gen_pages
     from game_review_crawler_ray.sources.seeds import gen_seeds
 
     pages, _expected = gen_pages(SMOKE_PAGES, SMOKE_HOSTS, seed=42)

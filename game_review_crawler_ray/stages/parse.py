@@ -11,7 +11,6 @@ dropped on output so it never travels further down the pipeline
 
 from __future__ import annotations
 
-from datetime import datetime
 
 import pyarrow as pa
 

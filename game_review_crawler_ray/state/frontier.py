@@ -33,8 +33,7 @@ occurrence), the quantity the reference's serial loop ordering preserves.
 from __future__ import annotations
 
 import os
-import random
-from datetime import datetime, timedelta
+from datetime import datetime
 from urllib.parse import urlparse
 
 import numpy as np
@@ -43,7 +42,7 @@ import pyarrow.parquet as pq
 
 from ..config import CrawlConfig
 from .bloom import BloomSeen, ExactSeen
-from .robots import ALLOW_ALL, parse_robots
+from .robots import parse_robots
 
 VIRTUAL_EPOCH = datetime(2024, 1, 1)
 
