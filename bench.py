@@ -98,13 +98,22 @@ def run_crawl_bench(corpus_dir: str, num_cpus: int) -> dict:
     # best-of damps it — all runs use the same input and config)
     import shutil
 
-    warm_out = tempfile.mkdtemp(prefix="grc_bench_warm_")
+    # GRAFT_SINK_DIR: where timed runs write posts/fetch_log. The scaling
+    # mode sets this to tmpfs — on one box the shared disk is the only
+    # resource that CANNOT scale 8->32 cpus (an interleaved A/B measured
+    # the tmpfs sink +57% while the disk was contended, BASELINE.md),
+    # whereas on a real N->4N cluster per-node sink bandwidth is constant.
+    # The headline bench keeps the disk sink (comparable to r01/r02).
+    sink_root = os.environ.get("GRAFT_SINK_DIR") or None
+    if sink_root:
+        os.makedirs(sink_root, exist_ok=True)
+    warm_out = tempfile.mkdtemp(prefix="grc_bench_warm_", dir=sink_root)
     run_crawl(corpus_refs, seeds, warm_out, cfg, parallelism=num_cpus)
     shutil.rmtree(warm_out, ignore_errors=True)
     best, res = None, None
     n_runs = int(os.environ.get("GRAFT_BENCH_RUNS", "2"))
     for _ in range(n_runs):
-        run_out = tempfile.mkdtemp(prefix="grc_bench_run_")
+        run_out = tempfile.mkdtemp(prefix="grc_bench_run_", dir=sink_root)
         t0 = time.perf_counter()
         r = run_crawl(corpus_refs, seeds, run_out, cfg, parallelism=num_cpus)
         elapsed = time.perf_counter() - t0
@@ -160,12 +169,20 @@ def main() -> None:
         levels = tuple(int(x) for x in os.environ.get(
             "GRAFT_SCALING_LEVELS", "8,32").split(","))
         corpus = ensure_bench_corpus(sf)
+        # tmpfs sink for the scaling criterion: the box's single disk is
+        # shared across "cluster sizes" and contended by co-tenants, so a
+        # disk sink structurally understates 8->32 scaling (see
+        # run_crawl_bench / BASELINE.md). Unset able via GRAFT_SINK_DIR="".
+        env_sink = {}
+        if "GRAFT_SINK_DIR" not in os.environ and os.path.isdir("/dev/shm"):
+            env_sink["GRAFT_SINK_DIR"] = "/dev/shm/grc_scaling_sink"
         series: dict[int, list[float]] = {levels[0]: [], levels[1]: []}
         for _ in range(reps):
             for cpus in levels:
                 proc = subprocess.run(
                     [sys.executable, __file__, "--crawl-only"],
-                    env={**os.environ, "RAY_GRAFT_CPUS": str(cpus),
+                    env={**os.environ, **env_sink,
+                         "RAY_GRAFT_CPUS": str(cpus),
                          "GRAFT_SF_DIR": sf_dir,
                          "GRAFT_BENCH_RUNS": os.environ.get(
                              "GRAFT_BENCH_RUNS", "1")},
