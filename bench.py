@@ -176,6 +176,11 @@ def main() -> None:
         env_sink = {}
         if "GRAFT_SINK_DIR" not in os.environ and os.path.isdir("/dev/shm"):
             env_sink["GRAFT_SINK_DIR"] = "/dev/shm/grc_scaling_sink"
+        # Record the resolved sink in the output JSON: scaling results with
+        # a tmpfs sink are not comparable to r01/r02 disk-sink numbers, so
+        # the emitted line must be self-describing (ADVICE r03).
+        sink_used = os.environ.get("GRAFT_SINK_DIR",
+                                   env_sink.get("GRAFT_SINK_DIR")) or "disk(/tmp)"
         series: dict[int, list[float]] = {levels[0]: [], levels[1]: []}
         for _ in range(reps):
             for cpus in levels:
@@ -200,6 +205,7 @@ def main() -> None:
             f"pages_per_sec_{hi}": round(thr_hi, 1),
             f"series_{lo}": [round(x, 1) for x in series[lo]],
             f"series_{hi}": [round(x, 1) for x in series[hi]],
+            "sink": sink_used,
             "sf": sf, "corpus": bench_params(sf),
         }))
         return

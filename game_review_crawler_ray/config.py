@@ -37,11 +37,13 @@ class CrawlConfig:
     fetch_concurrency: int = 8         # fetch actor pool size
     parse_batch_size: int = 256
     seen_exact: bool = True            # exact seen-set (conformance) vs bloom
-    # seed-prep strategy: "driver" (two task waves + from_arrow_refs;
-    # driver touches only fixed-width hash/shard arrays — right up to
-    # ~10^8 seeds) or "raydata" (annotate/dedup/sort all as Ray Data
-    # operators — the >10^8 scale path; see prep_seed_blocks_raydata)
-    seed_prep: str = "driver"
+    # seed-prep strategy: "auto" picks by seed count; "driver" (two task
+    # waves + from_arrow_refs; driver touches only fixed-width hash/shard
+    # arrays — measured faster up to ~10^8 seeds) or "raydata"
+    # (annotate/dedup/sort all as Ray Data operators — the >10^8 scale
+    # path; see prep_seed_blocks_raydata)
+    seed_prep: str = "auto"
+    seed_prep_raydata_rows: int = 50_000_000
     # minimum seed blocks per CPU: small corpora (blocks ~ parallelism)
     # otherwise run as ONE task wave whose makespan is the SLOWEST block
     # (shard-size skew makes blocks uneven); ~3 waves lets the scheduler

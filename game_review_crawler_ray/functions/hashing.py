@@ -182,10 +182,60 @@ def simhash_chunks(h: int, n_chunks: int = 4) -> list[int]:
     return [(c << 60) | ((h >> (c * width)) & mask) for c in range(n_chunks)]
 
 
-def rolling_fingerprint(text: str, base: int = 1_000_003,
-                        mod: int = (1 << 61) - 1) -> int:
-    """Karp–Rabin rolling hash over the whole document (order-sensitive)."""
+def _rolling_fingerprint_py(text: str, base: int = 1_000_003,
+                            mod: int = (1 << 61) - 1) -> int:
+    """Reference Karp–Rabin loop (kept as the equivalence oracle for the
+    vectorized path; also serves arbitrary ``mod`` values)."""
     h = 0
     for ch in text:
         h = (h * base + ord(ch)) % mod
     return h
+
+
+def _modmul61(a: np.ndarray, b) -> np.ndarray:
+    """(a * b) mod 2^61-1 for uint64 inputs < 2^61, without 128-bit ints:
+    split both operands into 31/30-bit halves and reduce the cross terms
+    with 2^61 ≡ 1 (Mersenne). All intermediates stay < 2^64."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    lo31 = np.uint64((1 << 31) - 1)
+    a_hi, a_lo = a >> np.uint64(31), a & lo31
+    b_hi, b_lo = b >> np.uint64(31), b & lo31
+    mid = a_hi * b_lo + a_lo * b_hi                      # < 2^62
+    mid_hi, mid_lo = mid >> np.uint64(30), mid & np.uint64((1 << 30) - 1)
+    # a*b = a_hi*b_hi*2^62 + mid*2^31 + a_lo*b_lo;  2^62 ≡ 2, 2^61 ≡ 1
+    s = (np.uint64(2) * a_hi * b_hi + mid_hi
+         + (mid_lo << np.uint64(31)) + a_lo * b_lo)      # < 2^64
+    s = (s >> np.uint64(61)) + (s & MERSENNE61)
+    return s - (s >= MERSENNE61).astype(np.uint64) * MERSENNE61
+
+
+def rolling_fingerprint(text: str, base: int = 1_000_003,
+                        mod: int = (1 << 61) - 1) -> int:
+    """Karp–Rabin rolling hash over the whole document (order-sensitive).
+
+    Vectorized as a numpy binary polynomial fold: the code-point array
+    (zero-padded at the FRONT to a power of two — leading zero
+    coefficients don't change the polynomial value) is halved each round
+    with ``v[2i]*p + v[2i+1]`` under mod-2^61-1 arithmetic, squaring the
+    base power ``p`` per round — O(n) work in ~log2(n) vectorized passes
+    instead of a per-character Python loop (pinned to the loop's exact
+    values by golden + property tests)."""
+    if mod != (1 << 61) - 1 or len(text) < 64:
+        return _rolling_fingerprint_py(text, base, mod)
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = len(codes)
+    size = 1 << (n - 1).bit_length()
+    v = np.zeros(size, dtype=np.uint64)
+    v[size - n:] = codes
+    # level 1 is exact WITHOUT modular arithmetic: code points < 2^21 and
+    # base < 2^20, so v[2i]*base + v[2i+1] < 2^42 — this skips a _modmul61
+    # pass over the largest array (half the total modular work)
+    p = np.uint64(base % mod)
+    v = v[0::2] * p + v[1::2]
+    p = _modmul61(p, p)
+    while len(v) > 1:
+        v = _modmul61(v[0::2], p) + v[1::2]
+        v -= (v >= MERSENNE61).astype(np.uint64) * MERSENNE61
+        p = _modmul61(p, p)
+    return int(v[0])

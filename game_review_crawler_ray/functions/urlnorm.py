@@ -14,7 +14,6 @@ Semantics match the reference crawler's URL handling:
 
 from __future__ import annotations
 
-import hashlib
 from urllib.parse import urlparse, urlunparse
 
 import numpy as np
@@ -53,8 +52,16 @@ def extract_host(url: str) -> str:
 
 
 def url_hash64(url_norm: str) -> int:
-    """Stable unsigned 64-bit hash of a normalized URL (seen-set key)."""
-    return int.from_bytes(hashlib.blake2b(url_norm.encode("utf-8"), digest_size=8).digest(), "big")
+    """Stable unsigned 64-bit hash of a normalized URL — the seen-set /
+    corpus-join / lineage key. Scalar form of ``url_hash64_batch`` (the
+    polars-xxhash family; MUST stay the same function so per-host scalar
+    call sites agree with the batch-annotated ``url_hash`` column).
+    Synthetic non-URL keys (frontier jitter) use ``hashing.stable_hash64``
+    instead — no family-consistency requirement, and blake2b is ~5x
+    cheaper per single call than a 1-element polars Series."""
+    from .hashing import hash_words_u64
+
+    return int(hash_words_u64([url_norm])[0])
 
 
 _C0_SPACE = "".join(chr(c) for c in range(0x21))
@@ -105,28 +112,81 @@ def _host_fast(norm: str) -> str:
 
 
 # ---------------------------------------------------------------------------
-# Batch kernels (Arrow in / Arrow out)
+# Batch kernels (Arrow in / Arrow out) — vectorized: pyarrow RE2 kernels
+# for normalize/host, the polars-xxhash word-hash primitive for the url
+# hash (VERDICT r03 item 2: the per-row normalize/blake2b loops were the
+# one sub-0.7-scaling seed-prep phase). Property-tested against the
+# per-row reference implementations.
 # ---------------------------------------------------------------------------
 
+import pyarrow.compute as pc  # noqa: E402
+
+# rows containing ';' (urlparse params), raw \t\n\r or C0 controls take the
+# per-row reference path; everything else is 4 anchored RE2 passes
+_WEIRD_RE = r"[;\x00-\x1f]"
+
+
 def normalize_url_batch(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Vectorized normalize over an Arrow string array.
+    """Vectorized ``normalize_url`` over an Arrow string array.
 
-    Batch-level Python loop over the fast path (one loop per *block*, never
-    per row on the driver) — the idiomatic Ray Data shape for string logic
-    that has no SIMD kernel.
-    """
-    return pa.array([_normalize_fast(u) for u in urls.to_pylist()], type=pa.string())
+    Derivation (mirrors ``_normalize_fast``): trim+lower, drop everything
+    from the first '#', then strip the trailing '/'s of the path — which
+    sit either at end-of-string (no query) or immediately before the '?'
+    — and drop a bare trailing '?' (urlunparse emits '?' only for a
+    non-empty query). Rows with ';'/control characters fall back to the
+    urlparse reference per row (rare by construction)."""
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    s = pc.utf8_lower(pc.utf8_trim_whitespace(urls))
+    out = pc.replace_substring_regex(s, r"(?s)#.*$", "")
+    out = pc.replace_substring_regex(out, r"/*\?$", "", max_replacements=1)
+    out = pc.replace_substring_regex(out, r"^([^?]*?)/*\?", r"\1?",
+                                     max_replacements=1)
+    out = pc.replace_substring_regex(out, r"^([^?]*?)/+$", r"\1",
+                                     max_replacements=1)
+    weird = pc.match_substring_regex(s, _WEIRD_RE)
+    if pc.any(weird).as_py():
+        vals = out.to_pylist()
+        raw = urls.to_pylist()
+        for i in np.flatnonzero(np.asarray(weird.to_numpy(zero_copy_only=False))):
+            vals[i] = _normalize_fast(raw[i])
+        return pa.array(vals, type=pa.string())
+    return out
 
 
-def extract_host_batch(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
-    return pa.array([extract_host(u) for u in urls.to_pylist()], type=pa.string())
+def extract_host_batch(norms: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized ``_host_fast`` over already-NORMALIZED urls: strip the
+    scheme and cut at the first '/' or '?'; rows without an http(s) scheme
+    pass through whole (RE2 leaves non-matching rows unchanged)."""
+    if isinstance(norms, pa.ChunkedArray):
+        norms = norms.combine_chunks()
+    return pc.replace_substring_regex(
+        norms, r"(?s)^https?://([^/?]*).*$", r"\1", max_replacements=1)
 
 
-def url_hash64_batch(url_norms: pa.Array | pa.ChunkedArray) -> pa.Array:
-    out = np.empty(len(url_norms), dtype=np.uint64)
-    for i, u in enumerate(url_norms.to_pylist()):
-        out[i] = url_hash64(u)
-    return pa.array(out, type=pa.uint64())
+def url_hash64_batch(url_norms) -> pa.Array:
+    """Stable 64-bit hashes for a url column, one vectorized call (the
+    same polars-xxhash family as the dedup kernels; blake2b fallback
+    without polars — see functions/hashing.py on determinism)."""
+    from .hashing import hash_words_u64
+
+    vals = url_norms if isinstance(url_norms, list) else url_norms.to_pylist()
+    return pa.array(hash_words_u64(vals), type=pa.uint64())
+
+
+def host_shard_ids(hosts: pa.Array | pa.ChunkedArray,
+                   num_shards: int) -> np.ndarray:
+    """Vectorized ``url_hash64(host) % num_shards`` over a host column:
+    dictionary-encode (hosts repeat heavily), hash only the distinct
+    values, gather through the indices."""
+    enc = hosts.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    dict_shards = (np.asarray(
+        url_hash64_batch(enc.dictionary).to_numpy(zero_copy_only=False),
+        dtype=np.uint64) % np.uint64(num_shards)).astype(np.int64)
+    idx = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    return dict_shards[idx]
 
 
 def annotate_urls(batch: pa.Table, url_col: str = "url") -> pa.Table:
@@ -135,14 +195,13 @@ def annotate_urls(batch: pa.Table, url_col: str = "url") -> pa.Table:
     host is derived from the *normalized* URL so mixed-case variants of one
     URL map to one frontier shard.
     """
-    urls = batch.column(url_col).to_pylist()
-    norms = [_normalize_fast(u) for u in urls]
-    hosts = [_host_fast(n) for n in norms]
-    out = np.empty(len(norms), dtype=np.uint64)
-    for i, u in enumerate(norms):
-        out[i] = url_hash64(u)
+    urls = batch.column(url_col)
+    if isinstance(urls, pa.ChunkedArray):
+        urls = urls.combine_chunks()
+    norms = normalize_url_batch(urls)
+    hosts = extract_host_batch(norms)
     return (
-        batch.append_column("url_norm", pa.array(norms, pa.string()))
-        .append_column("host", pa.array(hosts, pa.string()))
-        .append_column("url_hash", pa.array(out, pa.uint64()))
+        batch.append_column("url_norm", norms)
+        .append_column("host", hosts)
+        .append_column("url_hash", url_hash64_batch(norms))
     )

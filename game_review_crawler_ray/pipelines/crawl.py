@@ -46,7 +46,7 @@ import ray
 import ray.data
 
 from ..config import CrawlConfig
-from ..functions.urlnorm import annotate_urls, url_hash64
+from ..functions.urlnorm import annotate_urls, host_shard_ids, url_hash64
 from ..state.frontier import FrontierShard
 from ..stages.fetch import CorpusFetcher  # noqa: F401 (actor-pool variant)
 from ..stages.parse import parse_batch_fn
@@ -62,10 +62,15 @@ def make_frontier(cfg: CrawlConfig, checkpoint_dir: str | None = None):
     Actor = ray.remote(num_cpus=0)(FrontierShard)
     shards = [Actor.remote(i, cfg) for i in range(cfg.num_frontier_shards)]
     if checkpoint_dir:
-        # no ray.get: per-caller FIFO ordering guarantees this executes
-        # before any later driver-submitted offer on the same actor, so
-        # actor construction (~0.9s for 16 processes) overlaps seed prep
-        # instead of blocking the driver here.
+        # no ray.get needed. Driver-submitted calls (pre-offered grants,
+        # flush_log) are FIFO-ordered after this per caller. Offers
+        # submitted from map workers (streaming path) carry NO ordering
+        # guarantee vs this call — that is safe only because _log_row
+        # defers flushing while _checkpoint_dir is None and the final
+        # flush_log is driver-submitted (so ordered after this): a mid-run
+        # flush is merely deferred, never lost. Changing flush semantics
+        # must preserve that argument. Skipping the get lets actor
+        # construction (~0.9s for 16 processes) overlap seed prep.
         for s in shards:
             s.set_checkpoint_dir.remote(checkpoint_dir)
     return shards
@@ -133,8 +138,8 @@ def frontier_offer_fn(frontier, num_shards: int):
 
         _t0 = time.perf_counter()
         hosts = batch.column("host").to_pylist()
-        shard_ids = np.fromiter((url_hash64(h) % num_shards for h in hosts),
-                                dtype=np.int64, count=len(hosts))
+        shard_ids = host_shard_ids(batch.column("host"), num_shards) \
+            if len(hosts) else np.empty(0, dtype=np.int64)
         uniq = np.unique(shard_ids)
         if len(uniq) == 1:
             # shard-aligned block (prep_seed_blocks layout): one RPC
@@ -162,14 +167,17 @@ def frontier_offer_fn(frontier, num_shards: int):
     return offer
 
 
-def _empty_grant(batch: pa.Table) -> pa.Table:
+def _empty_grant(batch: pa.Table, with_attempt: bool = False) -> pa.Table:
     taken = batch.slice(0, 0)
     names = ["discovered_seq" if n == "seed_rank" else n
              for n in taken.column_names]
     taken = taken.rename_columns(names)
-    return (taken.append_column("grant_seq", pa.array([], pa.int64()))
-            .append_column("sched_s", pa.array([], pa.float64()))
-            .append_column("wait_s", pa.array([], pa.float64())))
+    out = (taken.append_column("grant_seq", pa.array([], pa.int64()))
+           .append_column("sched_s", pa.array([], pa.float64()))
+           .append_column("wait_s", pa.array([], pa.float64())))
+    if with_attempt:
+        out = out.append_column("attempt", pa.array([], pa.int32()))
+    return out
 
 
 def write_fetch_log_fn(log_dir: str, num_shards: int, run_id: str = "r0"):
@@ -189,8 +197,7 @@ def write_fetch_log_fn(log_dir: str, num_shards: int, run_id: str = "r0"):
 
     def write_log(batch: pa.Table) -> pa.Table:
         if batch.num_rows:
-            hosts = batch.column("host").to_pylist()
-            shard_of = {h: url_hash64(h) % num_shards for h in set(hosts)}
+            sid = host_shard_ids(batch.column("host"), num_shards)
             sched = np.asarray(batch.column("sched_s").to_numpy(
                 zero_copy_only=False), dtype=np.float64)
             ts = (sched * 1e6).astype(np.int64) + epoch_us
@@ -204,9 +211,7 @@ def write_fetch_log_fn(log_dir: str, num_shards: int, run_id: str = "r0"):
                 batch.column("wait_s"),
                 batch.column("grant_seq"),
                 batch.column("discovered_seq"),
-                pa.array(np.fromiter((shard_of[h] for h in hosts),
-                                     dtype=np.int32, count=len(hosts)),
-                         pa.int32()),
+                pa.array(sid.astype(np.int32), pa.int32()),
             ], schema=FETCH_LOG_SCHEMA)
             path = os.path.join(
                 log_dir, f"fetch_log-task-{run_id}-{uuid.uuid4().hex}.parquet")
@@ -235,10 +240,7 @@ def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
     @ray.remote(num_returns=2)
     def _annotate_slice(t: pa.Table):
         out = annotate_urls(t)
-        hosts = out.column("host").to_pylist()
-        shard_of = {h: url_hash64(h) % num_shards for h in set(hosts)}
-        sid = np.fromiter((shard_of[h] for h in hosts), dtype=np.int64,
-                          count=len(hosts))
+        sid = host_shard_ids(out.column("host"), num_shards)
         out = out.append_column("shard_id", pa.array(sid, pa.int64()))
         hashes = out.column("url_hash").to_numpy(zero_copy_only=False)
         # second return: ONLY the compact dedup keys — the table itself
@@ -333,6 +335,9 @@ def _concat_grants(*grants: dict) -> dict:
         "wait_s": np.concatenate(
             [g["wait_s"] for g in grants])[order] if grants else
             np.empty(0, dtype=np.float64),
+        "attempt": np.concatenate(
+            [g["attempt"] for g in grants])[order] if grants else
+            np.empty(0, dtype=np.int32),
     }
 
 
@@ -350,7 +355,7 @@ def apply_grants_fn(grants_ref):
         if g is None:
             g = cache["g"] = ray.get(grants_ref)
         if batch.num_rows == 0:
-            return _empty_grant(batch)
+            return _empty_grant(batch, with_attempt=True)
         hashes = np.asarray(
             batch.column("url_hash").to_numpy(zero_copy_only=False),
             dtype=np.uint64)
@@ -360,7 +365,7 @@ def apply_grants_fn(grants_ref):
         found = (gh[pos_clip] == hashes) if len(gh) else \
             np.zeros(len(hashes), dtype=bool)
         if not found.any():
-            return _empty_grant(batch)
+            return _empty_grant(batch, with_attempt=True)
         taken = batch.filter(pa.array(found))
         names = ["discovered_seq" if n == "seed_rank" else n
                  for n in taken.column_names]
@@ -372,7 +377,9 @@ def apply_grants_fn(grants_ref):
                 .append_column("sched_s",
                                pa.array(g["sched_s"][sel], pa.float64()))
                 .append_column("wait_s",
-                               pa.array(g["wait_s"][sel], pa.float64())))
+                               pa.array(g["wait_s"][sel], pa.float64()))
+                .append_column("attempt",
+                               pa.array(g["attempt"][sel], pa.int32())))
 
     return apply
 
@@ -404,10 +411,7 @@ def prep_seed_blocks_raydata(seeds, cfg: CrawlConfig, parallelism: int,
 
     def annotate_shard(batch: pa.Table) -> pa.Table:
         out = annotate_urls(batch)
-        hosts = out.column("host").to_pylist()
-        shard_of = {h: url_hash64(h) % num_shards for h in set(hosts)}
-        sid = np.fromiter((shard_of[h] for h in hosts), dtype=np.int64,
-                          count=len(hosts))
+        sid = host_shard_ids(out.column("host"), num_shards)
         return out.append_column("shard_id", pa.array(sid, pa.int64()))
 
     ds = ds.map_batches(annotate_shard, batch_format="pyarrow")
@@ -466,13 +470,14 @@ def preload_from_checkpoint(frontier, out_dir: str, num_shards: int) -> int:
         files, columns=["url_norm", "status", "partition_id"])
 
     def preload(batch: pa.Table) -> pa.Table:
+        from ..functions.urlnorm import url_hash64_batch
+
         mask = pc.is_in(batch.column("status"),
                         value_set=pa.array(TERMINAL_STATUSES))
         sel = batch.filter(mask)
         parts = sel.column("partition_id").to_numpy(zero_copy_only=False)
-        norms = sel.column("url_norm").to_pylist()
-        hashes = np.fromiter((url_hash64(n) for n in norms), np.uint64,
-                             len(norms))
+        hashes = np.asarray(url_hash64_batch(sel.column("url_norm"))
+                            .to_numpy(zero_copy_only=False), dtype=np.uint64)
         refs = [frontier[int(s)].preload_hashes.remote(hashes[parts == s])
                 for s in np.unique(parts)]
         fresh = sum(ray.get(refs)) if refs else 0
@@ -575,13 +580,22 @@ def run_crawl(
 
     try:
         pre_granted = False
-        if cfg.seed_prep == "raydata":
+        seed_prep_mode = cfg.seed_prep
+        if seed_prep_mode == "auto":
+            # driver-assembled prep is measured-faster up to ~10^8 seeds
+            # (two task waves beat a full Ray sort by seconds of fixed
+            # all-to-all overhead); beyond the threshold every prep step
+            # must be a Ray Data operator
+            seed_prep_mode = ("raydata" if isinstance(seeds, pa.Table)
+                              and seeds.num_rows > cfg.seed_prep_raydata_rows
+                              else "driver")
+        if seed_prep_mode == "raydata":
             # >10^8-seed scale path: every prep step is a Ray Data
             # operator (see prep_seed_blocks_raydata)
             ds = prep_seed_blocks_raydata(seeds, cfg, parallelism or 64,
                                           exact_dedup=cfg.seen_exact)
         elif isinstance(seeds, pa.Table) and cfg.virtual_clock \
-                and cfg.seen_exact and cfg.pre_grant and not rate_limited:
+                and cfg.seen_exact and cfg.pre_grant:
             # (seen_exact gate: the url_hash join treats hash equality as
             # identity, which is only bijective after the exact prep dedup;
             # in bloom mode a dup seed denied shard-side would still match
@@ -598,6 +612,11 @@ def run_crawl(
             # pages/32cpus that wait was ~25% of wall. A live deployment
             # (virtual_clock=False) keeps the streaming offer stage, where
             # real time must elapse between grants.
+            # Simulated-429 budgets (rate_limited) are consumed by the
+            # owning shard AT OFFER TIME in this mode (deterministic under
+            # the virtual clock; frontier.offer), so the fetch stage runs
+            # budget-free — the hardened path and the scale path are the
+            # same code.
             refs, ref_shards = prep_seed_blocks(seeds, cfg, parallelism or 64,
                                                 exact_dedup=cfg.seen_exact,
                                                 return_refs=True)
@@ -635,7 +654,10 @@ def run_crawl(
         ds = ds.map_batches(
             make_corpus_fetch_fn(corpus_ref, index_ref, frontier,
                                  cfg.num_frontier_shards,
-                                 rate_limited=rate_limited,
+                                 # pre-offered grants already consumed the
+                                 # 429 budgets shard-side (offer simulation)
+                                 rate_limited=None if pre_granted
+                                 else rate_limited,
                                  max_retries=cfg.max_retries),
             batch_format="pyarrow",
         )

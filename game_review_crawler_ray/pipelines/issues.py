@@ -164,6 +164,38 @@ class _PostScore:
 
 _POSTSCORE_MEMO: dict = {}
 
+ISSUES_PERSIST_ROOT = "/tmp/grc_issues"
+
+
+def _persist_analysis_inputs(scored: ray.data.Dataset, clusters: list[dict],
+                             target: str) -> None:
+    """Write the analysis tier's two oracle inputs — the enriched per-post
+    table (Ray Data write, nothing post-sized on the driver) and the
+    <=50-row cluster map — into a temp dir renamed into place (atomic vs
+    readers and concurrent builders)."""
+    import os
+    import shutil
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    tmp = f"{target}.tmp-{uuid.uuid4().hex}"
+    (scored.map_batches(
+        lambda b: b[["url", "score", "view_count", "n_comments",
+                     "created_at", "tokens"]],
+        batch_format="pandas")
+     .write_parquet(os.path.join(tmp, "scored")))
+    rows = [{"cluster_id": c["cluster_id"], "keyword": kw, "kw_idx": j,
+             "representative": c["representative"]}
+            for c in clusters for j, kw in enumerate(c["keywords"])]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   os.path.join(tmp, "clusters.parquet"))
+    shutil.rmtree(target, ignore_errors=True)
+    try:
+        os.rename(tmp, target)
+    except OSError:            # concurrent builder won the rename
+        shutil.rmtree(tmp, ignore_errors=True)
+
 
 def cluster_partials_fn(top_ref, kw_cluster_ref, cutoff):
     """Task-pool form of ``_ClusterPartials``: instance memoized per worker
@@ -331,8 +363,15 @@ def _hot_partial_fn(maxes_ref, k: int = 20):
 
 
 def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
-                  urgent_hours: int = 24, urgent_min_posts: int = 10) -> dict:
+                  urgent_hours: int = 24, urgent_min_posts: int = 10,
+                  persist_dir: str | None = None) -> dict:
     """Full analysis: returns dict of small result tables (pa.Table).
+
+    ``persist_dir``: when set, the enriched per-post table (url, score,
+    views, comments, ts, top-100 tokens) and the driver's cluster map are
+    written as parquet so the DuckDB oracle (SQL_DETECTED_ISSUES) can
+    independently recompute everything downstream of tokenization —
+    membership, cluster stats, priority, bug/severity, urgency, hot rank.
 
     Distribution shape (nothing post-sized ever lands on the driver):
 
@@ -388,6 +427,9 @@ def analyze_posts(posts: ray.data.Dataset, top_n_keywords: int = 50,
         for k in c["keywords"]:
             kw_cluster[k] = c["cluster_id"]
     urgent_cut = max_ts - timedelta(hours=urgent_hours) if pd.notna(max_ts) else None
+
+    if persist_dir:
+        _persist_analysis_inputs(scored, clusters, persist_dir)
 
     # --- pass 2: per-cluster partials over the enriched posts ---
     cparts_ds = scored.map_batches(
@@ -693,16 +735,30 @@ def _analysis_for(sf_dir: str) -> dict:
 
     if sf_dir in _ANALYSIS_CACHE:
         return _ANALYSIS_CACHE[sf_dir]
+    from .textops import _sf_of
+
     out = _crawl_out(sf_dir)
     posts = ray.data.read_parquet(os.path.join(out, "posts"))
-    res = analyze_posts(posts)
+    res = analyze_posts(posts, persist_dir=os.path.join(
+        ISSUES_PERSIST_ROOT, f"sf{_sf_of(sf_dir)}"))
     _ANALYSIS_CACHE[sf_dir] = res
     return res
 
 
 def q_detected_issues(sf_dir: str) -> pa.Table:
     t = _analysis_for(sf_dir)["issues"]
-    return t.drop_columns(["keywords"]) if "keywords" in t.column_names else t
+    if "keywords" in t.column_names:
+        t = t.drop_columns(["keywords"])
+    if "related_posts" in t.column_names:
+        # gate shape: the capped url list as one comma-joined scalar (the
+        # value-hash comparator stringifies object columns, and a numpy
+        # list repr would never match DuckDB's); the analysis tier itself
+        # keeps the list column.
+        idx = t.column_names.index("related_posts")
+        joined = pa.array([",".join(v) for v in
+                           t.column("related_posts").to_pylist()], pa.string())
+        t = t.set_column(idx, "related_posts", joined)
+    return t
 
 
 def hot_posts_direct(posts: ray.data.Dataset, k_cap: int = 20) -> pa.Table:
@@ -815,7 +871,87 @@ ORDER BY hot_score DESC, url ASC LIMIT 20
            pos=_ko_count_expr(POSITIVE_KO), neg=_ko_count_expr(NEGATIVE_KO),
            score_case=_SCORE_CASE, bug_expr=_BUG_LIKE)
 
+# A4/A5 oracle: everything downstream of tokenization — cluster
+# membership, per-cluster stats, priority, bug flag + severity, urgency,
+# hot rank, the capped related-url list and the priority ordering — is
+# recomputed by DuckDB from the two engine-persisted inputs
+# (_persist_analysis_inputs): the enriched per-post table (url, score,
+# views, comments, ts, top-100 tokens) and the driver's greedy cluster
+# map (greedy first-fit is order-dependent over <=50 rows by spec —
+# SURVEY.md §7.3 — so the map itself is the one engine-side input).
+_BUG_LIST = "[" + ", ".join(f"'{w}'" for w in sorted(BUG_KEYWORDS)) + "]"
+_ISSUES01 = f"{ISSUES_PERSIST_ROOT}/sf0.01"
+
+SQL_DETECTED_ISSUES = """
+WITH scored AS (
+    SELECT * FROM read_parquet('{root}/scored/*.parquet')
+), clusters AS (
+    SELECT * FROM read_parquet('{root}/clusters.parquet')
+), totals AS (
+    SELECT count(*) AS n_posts,
+           GREATEST(sum(view_count), 1) AS tot_views,
+           GREATEST(sum(n_comments), 1) AS tot_comments,
+           max(created_at) AS max_ts
+    FROM scored
+), member AS (
+    SELECT DISTINCT c.cluster_id, s.url
+    FROM (SELECT url, unnest(tokens) AS tok FROM scored) s
+    JOIN clusters c ON c.keyword = s.tok
+), mstats AS (
+    SELECT m.cluster_id,
+           count(*) AS post_count,
+           CAST(sum(s.view_count) AS BIGINT) AS total_views,
+           CAST(sum(s.n_comments) AS BIGINT) AS total_comments,
+           sum(s.score) AS sum_score,
+           min(s.created_at) AS first_seen,
+           sum(CASE WHEN s.created_at >=
+                    (SELECT max_ts FROM totals) - INTERVAL 24 HOUR
+                    THEN 1 ELSE 0 END) AS n_urgent,
+           array_to_string(list_slice(list_sort(list(s.url)), 1, {cap}),
+                           ',') AS related_posts
+    FROM member m JOIN scored s ON s.url = m.url
+    GROUP BY m.cluster_id
+), cmeta AS (
+    SELECT cluster_id, any_value(representative) AS title,
+           CAST(string_split(cluster_id, '_')[2] AS BIGINT) AS cidx,
+           bool_or(len(list_filter({bugs},
+                        b -> contains(lower(keyword), b))) > 0) AS is_bug
+    FROM clusters GROUP BY cluster_id
+), enriched AS (
+    SELECT c.cluster_id AS issue_id, c.title, c.cidx, c.is_bug,
+           m.post_count, m.total_views, m.total_comments,
+           ROUND(0.3 * m.total_views / t.tot_views
+                 + 0.3 * m.total_comments / t.tot_comments
+                 + 0.4 * m.post_count / GREATEST(t.n_posts, 1), 6)
+               AS priority_score,
+           ROUND(m.sum_score / m.post_count, 6) AS sentiment_avg,
+           m.first_seen, m.n_urgent >= {urgent_min} AS is_urgent,
+           m.related_posts, t.n_posts AS n_total
+    FROM cmeta c JOIN mstats m USING (cluster_id), totals t
+), ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY priority_score DESC, cidx ASC) AS rn,
+           count(*) OVER () AS n_issues
+    FROM enriched
+)
+SELECT issue_id, title, post_count, total_views, total_comments,
+       priority_score, is_bug,
+       CASE WHEN NOT is_bug THEN 'low'
+            WHEN 0.5 * LEAST(1.0, post_count / CAST(GREATEST(n_total, 1) AS DOUBLE))
+                 + 0.5 * GREATEST(0.0, -sentiment_avg) >= 0.7 THEN 'critical'
+            WHEN 0.5 * LEAST(1.0, post_count / CAST(GREATEST(n_total, 1) AS DOUBLE))
+                 + 0.5 * GREATEST(0.0, -sentiment_avg) >= 0.5 THEN 'high'
+            WHEN 0.5 * LEAST(1.0, post_count / CAST(GREATEST(n_total, 1) AS DOUBLE))
+                 + 0.5 * GREATEST(0.0, -sentiment_avg) >= 0.3 THEN 'medium'
+            ELSE 'low' END AS severity,
+       sentiment_avg, first_seen, is_urgent, related_posts,
+       rn <= GREATEST(1, CAST(floor(n_issues * 0.1) AS BIGINT)) AS is_hot
+FROM ranked ORDER BY rn
+""".format(root=_ISSUES01, cap=RELATED_POSTS_CAP, bugs=_BUG_LIST,
+           urgent_min=10)
+
 ORACLE_SQL = {
     "combined_sentiment": SQL_COMBINED_SENTIMENT,
     "hot_posts": SQL_HOT_POSTS,
+    "detected_issues": SQL_DETECTED_ISSUES,
 }

@@ -101,11 +101,16 @@ class CorpusFetcher:
 
         _t0 = time.perf_counter()
         n = batch.num_rows
+        # pre-offered grants under rate limiting already carry the
+        # shard-simulated attempt count — preserve it (crawl.py disables
+        # this stage's 429 path in that mode)
+        has_attempt = "attempt" in batch.column_names
         if n == 0:
-            return batch.append_column("html", pa.array([], pa.binary())) \
+            out = batch.append_column("html", pa.array([], pa.binary())) \
                 .append_column("warc_ts", pa.array([], pa.timestamp("us"))) \
-                .append_column("status", pa.array([], pa.string())) \
-                .append_column("attempt", pa.array([], pa.int32()))
+                .append_column("status", pa.array([], pa.string()))
+            return out if has_attempt else \
+                out.append_column("attempt", pa.array([], pa.int32()))
         hashes = np.asarray(batch.column("url_hash").to_numpy(zero_copy_only=False),
                             dtype=np.uint64)
         idx, found = self._lookup(hashes)
@@ -119,8 +124,9 @@ class CorpusFetcher:
             batch.append_column("html", self._take_html(take_np))
             .append_column("warc_ts", self._warc.take(pa.array(take_np)))
             .append_column("status", pa.array(statuses, pa.string()))
-            .append_column("attempt", pa.array(attempts, pa.int32()))
         )
+        if not has_attempt:
+            out = out.append_column("attempt", pa.array(attempts, pa.int32()))
         if os.environ.get("GRC_TIMING"):
             print(f"[fetch] {n} rows {time.perf_counter()-_t0:.3f}s")
         return out
@@ -272,20 +278,24 @@ def decode_html(raw: bytes, content_type: str | None = None) -> str:
     utf-8; a page that defeats all of them decodes with replacement
     rather than failing the task.
 
-    Fast path: bytes that decode as strict utf-8 skip the charset sniff
-    entirely — identical output for utf-8 pages (including every page the
-    sandbox corpus emits), and the reference's precedence cascade still
-    applies verbatim to anything that is not valid utf-8 (cp949 Korean
-    multibyte sequences are invalid utf-8, so they always fall through)."""
+    Fast path: for pages with no Content-Type charset AND no sniffable
+    meta charset the cascade is exactly [utf-8, cp949], so a strict-utf-8
+    decode IS the cascade's first step — provably identical output, no
+    precedence inversion (a non-utf-8 declared page whose bytes happen to
+    be valid utf-8 still takes the full cascade; ADVICE r03). The sniff
+    is one regex over the first 2 KB."""
+    sniffed = None
     if content_type is None or "charset=" not in content_type:
-        try:
-            return raw.decode("utf-8")
-        except UnicodeDecodeError:
-            pass
+        sniffed = sniff_charset(raw)
+        if sniffed is None or sniffed in ("utf-8", "utf8"):
+            try:
+                return raw.decode("utf-8")
+            except UnicodeDecodeError:
+                pass
     tried: list[str] = []
     if content_type and "charset=" in content_type:
         tried.append(content_type.split("charset=")[-1].split(";")[0].strip())
-    sniffed = sniff_charset(raw)
+        sniffed = sniff_charset(raw)
     if sniffed:
         tried.append(sniffed)
     tried += ["utf-8", "cp949"]

@@ -119,9 +119,9 @@ class FrontierShard:
         if not self.cfg.jitter_enabled:
             return 0.0
         jmin, jmax = self.cfg.jitter_range
-        from ..functions.urlnorm import url_hash64
+        from ..functions.hashing import stable_hash64
 
-        u = url_hash64(f"{self.cfg.rng_seed}:{host}:{k}") / 2.0 ** 64
+        u = stable_hash64(f"{self.cfg.rng_seed}:{host}:{k}") / 2.0 ** 64
         return jmin + (jmax - jmin) * u
 
     def _robots_allowed(self, host: str, url: str) -> bool:
@@ -171,6 +171,7 @@ class FrontierShard:
         grant_out = np.empty(n, dtype=np.int64)
         sched_out = np.empty(n, dtype=np.float64)
         wait_out = np.empty(n, dtype=np.float64)
+        att_out = np.empty(n, dtype=np.int32)
         m = 0
         lazy_urls = None
         for i in np.nonzero(fresh)[0]:
@@ -191,12 +192,43 @@ class FrontierShard:
             sched = st.next_free_s + wait
             st.next_free_s = sched
             st.count += 1
+            attempt = 1
+            if echo_hash and self.rate_budget.get(host, 0) > 0:
+                # Pre-offered-grant mode: the simulated-429 budget is
+                # consumed HERE, serially per host (the reference's serial
+                # loop semantics, rate_limiter.py:213-268) — deterministic
+                # under the virtual clock, and the backoff bumps land on
+                # next_free_s BEFORE later same-host grants are scheduled
+                # (the streaming path applies them racily at fetch time).
+                # The fetch stage then runs budget-free (crawl.py passes
+                # rate_limited=None when grants are pre-offered).
+                suspended_now = False
+                while self.rate_budget.get(host, 0) > 0:
+                    self.rate_budget[host] -= 1
+                    st.retry_count += 1
+                    if st.retry_count > self.cfg.max_retries:
+                        st.suspended = True
+                        suspended_now = True
+                        break
+                    st.next_free_s += float(2 ** st.retry_count)
+                    attempt += 1
+                if suspended_now:
+                    if lazy_urls is None:
+                        lazy_urls = batch.column("url")
+                    self._log_row(lazy_urls[i].as_py(),
+                                  batch.column("url_norm")[i].as_py(), host,
+                                  "suspended", attempt, wait, -1,
+                                  batch.column("seed_rank")[i].as_py(), sched)
+                    continue
+                if attempt > 1:   # success after retries resets the counter
+                    st.retry_count = 0
             grant_seq = self._grant_counter * self.cfg.num_frontier_shards + self.shard_id
             self._grant_counter += 1
             idx_out[m] = i
             grant_out[m] = grant_seq
             sched_out[m] = sched
             wait_out[m] = wait
+            att_out[m] = attempt
             m += 1
         if _os.environ.get("GRC_TIMING"):
             print(f"[shard{self.shard_id}] offer {batch.num_rows} rows "
@@ -211,7 +243,9 @@ class FrontierShard:
             # pre-offered-grant mode (crawl.py): the caller joins grants
             # back to rows by url_hash instead of by batch position, so the
             # response must identify granted rows position-independently.
+            # attempt carries the shard-simulated 429 retries (1 if none).
             out["url_hash"] = hashes[idx_out[:m]]
+            out["attempt"] = att_out[:m]
         return out
 
     def _robots_allowed_lazy(self, host: str, batch: pa.Table, i: int) -> bool:
@@ -287,11 +321,8 @@ class FrontierShard:
                 grant_seq = (self._grant_counter * self.cfg.num_frontier_shards
                              + self.shard_id)
                 self._grant_counter += 1
-                from ..functions.urlnorm import url_hash64 as _h64
-
                 out["url"].append(url)
                 out["url_norm"].append(norm)
-                out["url_hash"].append(_h64(norm))
                 out["host"].append(host)
                 out["keyword"].append(kw)
                 out["discovered_seq"].append(rank)
@@ -301,8 +332,12 @@ class FrontierShard:
                 n_out += 1
             if q:
                 heapq.heappush(ready, (self._host_state(host).next_free_s, host))
+        from ..functions.urlnorm import url_hash64_batch
+
+        out["url_hash"] = url_hash64_batch(out["url_norm"])  # one batch call
         return pa.Table.from_arrays(
             [pa.array(out[n], GRANT_SCHEMA.field(n).type)
+             if n != "url_hash" else out[n]
              for n in GRANT_SCHEMA.names],
             schema=GRANT_SCHEMA)
 

@@ -138,6 +138,22 @@ def test_analyze_posts_pipeline():
         assert [order[p] for p in pr] == sorted(order[p] for p in pr)
 
 
+def test_hot_posts_direct_equals_analysis_tier():
+    """hot_posts_direct (no-tokenize fast path used by q_hot_posts when
+    the analysis cache is cold) must return rows IDENTICAL to the full
+    analysis tier's hot_posts — the two copies of the hot-score/k/
+    tie-break logic may not drift apart (ADVICE r03)."""
+    from game_review_crawler_ray.pipelines.issues import hot_posts_direct
+
+    tbl = _posts_table()
+    full = analyze_posts(ray.data.from_arrow(tbl))["hot_posts"]
+    direct = hot_posts_direct(ray.data.from_arrow(tbl))
+    assert full.column_names == direct.column_names
+    assert full.num_rows == direct.num_rows
+    for col in full.column_names:
+        assert full.column(col).to_pylist() == direct.column(col).to_pylist(), col
+
+
 def test_analyze_posts_matches_serial_reference():
     """Distributed partial-aggregate analysis == a naive serial computation
     of the same reference formulas (issue_detector.py:170-257,464-516)."""

@@ -38,9 +38,10 @@ def test_query_matches_oracle(ctx, name):
     from tools.oracle_check import normalize, to_pandas
 
     queries, oracles, con = ctx
-    # crawl-output oracles hardcode the sf0.01 cache path (the driver's
+    # engine-persisted-artifact oracles (crawl output, simhash values,
+    # analysis inputs) hardcode their sf0.01 cache path (the driver's
     # correctness gate runs at sf0.01) — run those at sf0.01 here too
-    sf_dir = ("/root/testdata/sf0.01" if "grc_crawl" in oracles[name]
+    sf_dir = ("/root/testdata/sf0.01" if "/tmp/grc_" in oracles[name]
               else SF_DIR)
     got = normalize(to_pandas(queries[name](sf_dir)))
     exp = normalize(con.sql(oracles[name]).df())

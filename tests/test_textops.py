@@ -74,6 +74,32 @@ def test_hashing_kernels():
     assert len(chunks) == 4 and len(set(chunks)) == 4
 
 
+def test_rolling_fingerprint_vectorized():
+    """The numpy polynomial fold must reproduce the per-char Karp–Rabin
+    loop exactly: golden values pinned from the pre-vectorization
+    implementation, plus a random-string equivalence sweep."""
+    import random
+
+    golden = {
+        "": 0,
+        "a": 97,
+        "ab": 97000389,
+        "hello world": 2083453854010787712,
+        "한국어 텍스트 처리": 1224595849175676792,
+        "The quick brown fox jumps over the lazy dog. " * 40:
+            570346095466824053,
+        "x" * 1000: 2175243308957103929,
+        "￿\U0001F600 mixed": 1923277397718113591,
+    }
+    for text, expect in golden.items():
+        assert H.rolling_fingerprint(text) == expect, text[:30]
+    rng = random.Random(7)
+    for _ in range(200):
+        n = rng.randrange(0, 600)
+        s = "".join(chr(rng.randrange(32, 0xD700)) for _ in range(n))
+        assert H.rolling_fingerprint(s) == H._rolling_fingerprint_py(s)
+
+
 def test_ann_topk_matches_bruteforce(tmp_path):
     # deterministic small embedding table
     rng = np.random.default_rng(3)
