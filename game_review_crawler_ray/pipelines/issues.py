@@ -882,7 +882,7 @@ ORDER BY hot_score DESC, url ASC LIMIT 20
 _BUG_LIST = "[" + ", ".join(f"'{w}'" for w in sorted(BUG_KEYWORDS)) + "]"
 _ISSUES01 = f"{ISSUES_PERSIST_ROOT}/sf0.01"
 
-SQL_DETECTED_ISSUES = """
+_ISSUES_CTE = """
 WITH scored AS (
     SELECT * FROM read_parquet('{root}/scored/*.parquet')
 ), clusters AS (
@@ -931,27 +931,102 @@ WITH scored AS (
 ), ranked AS (
     SELECT *,
            row_number() OVER (ORDER BY priority_score DESC, cidx ASC) AS rn,
-           count(*) OVER () AS n_issues
+           count(*) OVER () AS n_issues,
+           0.5 * LEAST(1.0, post_count / CAST(GREATEST(n_total, 1) AS DOUBLE))
+               + 0.5 * GREATEST(0.0, -sentiment_avg) AS sev
     FROM enriched
+), fin AS (
+    SELECT issue_id, title, post_count, total_views, total_comments,
+           priority_score, is_bug,
+           CASE WHEN NOT is_bug THEN 'low'
+                WHEN sev >= 0.7 THEN 'critical'
+                WHEN sev >= 0.5 THEN 'high'
+                WHEN sev >= 0.3 THEN 'medium'
+                ELSE 'low' END AS severity,
+           sentiment_avg, first_seen, is_urgent, related_posts,
+           rn <= GREATEST(1, CAST(floor(n_issues * 0.1) AS BIGINT)) AS is_hot,
+           rn
+    FROM ranked
 )
-SELECT issue_id, title, post_count, total_views, total_comments,
-       priority_score, is_bug,
-       CASE WHEN NOT is_bug THEN 'low'
-            WHEN 0.5 * LEAST(1.0, post_count / CAST(GREATEST(n_total, 1) AS DOUBLE))
-                 + 0.5 * GREATEST(0.0, -sentiment_avg) >= 0.7 THEN 'critical'
-            WHEN 0.5 * LEAST(1.0, post_count / CAST(GREATEST(n_total, 1) AS DOUBLE))
-                 + 0.5 * GREATEST(0.0, -sentiment_avg) >= 0.5 THEN 'high'
-            WHEN 0.5 * LEAST(1.0, post_count / CAST(GREATEST(n_total, 1) AS DOUBLE))
-                 + 0.5 * GREATEST(0.0, -sentiment_avg) >= 0.3 THEN 'medium'
-            ELSE 'low' END AS severity,
-       sentiment_avg, first_seen, is_urgent, related_posts,
-       rn <= GREATEST(1, CAST(floor(n_issues * 0.1) AS BIGINT)) AS is_hot
-FROM ranked ORDER BY rn
 """.format(root=_ISSUES01, cap=RELATED_POSTS_CAP, bugs=_BUG_LIST,
            urgent_min=10)
+
+SQL_DETECTED_ISSUES = _ISSUES_CTE + """
+SELECT issue_id, title, post_count, total_views, total_comments,
+       priority_score, is_bug, severity, sentiment_avg, first_seen,
+       is_urgent, related_posts, is_hot
+FROM fin ORDER BY rn
+"""
+
+# A13 summary recomputed from the persisted analysis inputs.
+SQL_ANALYSIS_SUMMARY = """
+WITH scored AS (
+    SELECT * FROM read_parquet('{root}/scored/*.parquet')
+), clusters AS (
+    SELECT * FROM read_parquet('{root}/clusters.parquet')
+), t AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_posts,
+           ROUND(sum(score) / count(*), 6) AS avg_sentiment,
+           CAST(sum(CASE WHEN score > 0.1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_positive,
+           CAST(sum(CASE WHEN score < -0.1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative
+    FROM scored
+), cb AS (
+    SELECT CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_issues,
+           CAST(count(DISTINCT CASE WHEN len(list_filter({bugs},
+                    b -> contains(lower(keyword), b))) > 0
+                THEN cluster_id END) AS BIGINT) AS n_bug_issues
+    FROM clusters
+)
+SELECT n_posts, avg_sentiment, n_positive, n_negative,
+       n_posts - n_positive - n_negative AS n_neutral,
+       n_issues, n_bug_issues,
+       GREATEST(1, CAST(floor(n_issues * 0.1) AS BIGINT)) AS n_hot_issues
+FROM t, cb
+""".format(root=_ISSUES01, bugs=_BUG_LIST)
+
+# A12/T9 alert summary: the alert list is regenerated in SQL from the
+# per-issue enrichment — one alert per (urgent issue, critical/high bug,
+# hot issue), ordered exactly like generate_alerts' stable priority sort
+# (priority rank, then issue priority order, then within-issue generation
+# order urgent->bug->hot).
+SQL_ALERTS_SUMMARY = _ISSUES_CTE + """
+, alerts AS (
+    SELECT 'urgent_issue' AS alert_type, 'critical' AS priority,
+           '긴급: ' || title AS title, rn, 0 AS kind
+    FROM fin WHERE is_urgent
+    UNION ALL
+    SELECT 'bug', severity, '버그: ' || title, rn, 1
+    FROM fin WHERE is_bug AND severity IN ('critical', 'high')
+    UNION ALL
+    SELECT 'hot_issue', 'medium', '핫이슈: ' || title, rn, 2
+    FROM fin WHERE is_hot
+), ord AS (
+    SELECT *,
+           (CASE priority WHEN 'critical' THEN 0 WHEN 'high' THEN 1
+                 WHEN 'medium' THEN 2 ELSE 3 END) * 1000000
+               + rn * 10 + kind AS sort_key
+    FROM alerts
+)
+SELECT CAST(count(*) AS BIGINT) AS total_alerts,
+       CAST(coalesce(sum(CASE WHEN alert_type = 'urgent_issue'
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS urgent_count,
+       CAST(coalesce(sum(CASE WHEN alert_type = 'hot_issue'
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS hot_issue_count,
+       CAST(coalesce(sum(CASE WHEN alert_type = 'bug'
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS bug_count,
+       CAST(coalesce(sum(CASE WHEN priority = 'critical'
+                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS critical_count,
+       arg_min(alert_type, sort_key) AS top_alert_type,
+       arg_min(title, sort_key) AS top_alert_title
+FROM ord
+"""
 
 ORACLE_SQL = {
     "combined_sentiment": SQL_COMBINED_SENTIMENT,
     "hot_posts": SQL_HOT_POSTS,
     "detected_issues": SQL_DETECTED_ISSUES,
+    "analysis_summary": SQL_ANALYSIS_SUMMARY,
+    "alerts_summary": SQL_ALERTS_SUMMARY,
 }

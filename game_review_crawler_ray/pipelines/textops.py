@@ -72,38 +72,71 @@ FROM documents GROUP BY md5(text) ORDER BY doc_id
 # MinHash + LSH near-dup (rows-only; verified by planted-dup tests)
 # ---------------------------------------------------------------------------
 
-def _minhash_stage(batch: pd.DataFrame, features: str = "word") -> pd.DataFrame:
-    """doc -> 8 band rows (doc_id, band_key, sig bytes). All features in
-    the batch are hashed in ONE vectorized call (the per-shingle Python
-    blake2 loop dominated round-2's dedup cost); per-doc work is numpy
-    only.
+def minhash_values(ds: ray.data.Dataset,
+                   features: str = "word") -> ray.data.Dataset:
+    """(doc_id, sig fixed_list<u64,64>, band_keys fixed_list<i64,8>) —
+    per-doc MinHash signatures + LSH band keys. All features in a batch
+    are hashed in ONE vectorized call (the per-shingle Python blake2 loop
+    dominated round-2's dedup cost); per-doc work is numpy only.
 
     ``features="word"``: 3-word shingles (dedup_minhash's metric).
     ``features="char"``: char-3-gram SET hashes — the candidate stage for
     the n-gram-verified dedup MUST minhash the verifier's own feature
     space: a word-permuted near-dup keeps ~all char trigrams but no word
     shingle, so word-LSH estimates its similarity at 0."""
-    if features == "char":
-        doc_feats = [list(H.char_ngrams(t)) for t in batch["text"]]
-    else:
-        doc_feats = [t.lower().split() for t in batch["text"]]
-    flat = [w for ws in doc_feats for w in ws]
-    wh = H.hash_words_u64(flat)
-    offs = np.concatenate(([0], np.cumsum([len(ws) for ws in doc_feats],
-                                          dtype=np.int64)))
-    rows_id, rows_key, rows_sig = [], [], []
-    for i, doc_id in enumerate(batch["doc_id"]):
-        feats = wh[offs[i]:offs[i + 1]]
-        sig = H.minhash_signature(H.shingle_hashes(feats) if features == "word"
-                                  else feats)
-        sig_bytes = sig.tobytes()
-        for key in H.minhash_bands(sig):
-            rows_id.append(doc_id)
-            rows_key.append(key)
-            rows_sig.append(sig_bytes)
-    keys = np.asarray(rows_key, dtype=np.int64)
-    return pd.DataFrame({"doc_id": rows_id, "band_key": keys,
-                         "coarse": _coarse_of(keys), "sig": rows_sig})
+
+    def stage(batch: pd.DataFrame) -> pa.Table:
+        if features == "char":
+            doc_feats = [list(H.char_ngrams(t)) for t in batch["text"]]
+        else:
+            doc_feats = [t.lower().split() for t in batch["text"]]
+        flat = [w for ws in doc_feats for w in ws]
+        wh = H.hash_words_u64(flat)
+        offs = np.concatenate(([0], np.cumsum([len(ws) for ws in doc_feats],
+                                              dtype=np.int64)))
+        n = len(doc_feats)
+        sigs = np.empty((n, H._N_PERM), dtype=np.uint64)
+        keys = np.empty((n, H._BANDS), dtype=np.int64)
+        for i in range(n):
+            feats = wh[offs[i]:offs[i + 1]]
+            sigs[i] = H.minhash_signature(
+                H.shingle_hashes(feats) if features == "word" else feats)
+            keys[i] = H.minhash_bands(sigs[i])
+        return pa.table({
+            "doc_id": pa.array(batch["doc_id"].to_numpy(np.int64), pa.int64()),
+            "sig": pa.FixedSizeListArray.from_arrays(
+                pa.array(sigs.reshape(-1), pa.uint64()), H._N_PERM),
+            "band_keys": pa.FixedSizeListArray.from_arrays(
+                pa.array(keys.reshape(-1), pa.int64()), H._BANDS),
+        })
+
+    return ds.map_batches(stage, batch_format="pandas")
+
+
+def _band_rows(batch: pa.Table) -> pd.DataFrame:
+    """values -> 8 band rows per doc (doc_id, band_key, coarse, sig bytes)
+    for the bucket groupby."""
+    n = batch.num_rows
+    ids = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    sig_col = batch.column("sig")
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    sigs = np.asarray(sig_col.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.uint64).reshape(n, H._N_PERM)
+    kc = batch.column("band_keys")
+    if isinstance(kc, pa.ChunkedArray):
+        kc = kc.combine_chunks()
+    keys = np.asarray(kc.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.int64).reshape(n, H._BANDS)
+    sig_bytes = [sigs[i].tobytes() for i in range(n)]
+    flat_keys = keys.reshape(-1)
+    return pd.DataFrame({
+        "doc_id": np.repeat(ids, H._BANDS),
+        "band_key": flat_keys,
+        "coarse": _coarse_of(flat_keys),
+        "sig": [b for b in sig_bytes for _ in range(H._BANDS)],
+    })
 
 
 N_COARSE = 64   # Ray-level shuffle partitions for bucket/pair stages
@@ -293,17 +326,23 @@ def _attach_pair_payload(pairs: ray.data.Dataset, payload: ray.data.Dataset,
     return valued.groupby("pk").map_groups(pivot, batch_format="pandas")
 
 
-def minhash_candidate_pairs_ds(ds: ray.data.Dataset,
-                               est_threshold: float = 0.7,
-                               features: str = "word") -> ray.data.Dataset:
-    """shingle -> minhash -> band -> bucket groupby -> in-bucket pairs,
-    deduped across bands with a second keyed groupby (a pair can fire in
-    several bands). Dataset out — nothing pair-sized on the driver."""
-    bands = ds.map_batches(lambda b: _minhash_stage(b, features),
-                           batch_format="pandas")
+def minhash_candidate_pairs_from_values(vals: ray.data.Dataset,
+                                        est_threshold: float = 0.7
+                                        ) -> ray.data.Dataset:
+    """values -> band rows -> bucket groupby -> in-bucket pairs, deduped
+    across bands with a second keyed groupby (a pair can fire in several
+    bands). Dataset out — nothing pair-sized on the driver."""
+    bands = vals.map_batches(_band_rows, batch_format="pyarrow")
     pairs = bands.groupby("coarse").map_groups(
         lambda g: _bucket_pairs(g, est_threshold), batch_format="pandas")
     return _dedup_pairs_ds(pairs, ["doc_a", "doc_b"])
+
+
+def minhash_candidate_pairs_ds(ds: ray.data.Dataset,
+                               est_threshold: float = 0.7,
+                               features: str = "word") -> ray.data.Dataset:
+    return minhash_candidate_pairs_from_values(minhash_values(ds, features),
+                                               est_threshold)
 
 
 def minhash_candidate_pairs(ds: ray.data.Dataset, est_threshold: float = 0.7,
@@ -317,8 +356,26 @@ def minhash_candidate_pairs(ds: ray.data.Dataset, est_threshold: float = 0.7,
         [("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
+MINHASH_VALUES_ROOT = "/tmp/grc_minhash"
+
+
 def q_dedup_minhash(sf_dir: str) -> pa.Table:
-    return minhash_candidate_pairs(_docs(sf_dir, columns=["doc_id", "text"]))
+    """MinHash+LSH near-dup pairs. The per-doc signatures + band keys are
+    persisted as parquet so the DuckDB oracle (SQL_DEDUP_MINHASH) can
+    independently recompute the whole pair-finding — band-key bucket join,
+    positionwise signature-equality estimate, threshold, cross-band dedup
+    and ordering; only the hash family itself is engine-side."""
+    vals = minhash_values(_docs(sf_dir, columns=["doc_id", "text"])) \
+        .materialize()
+    _persist_atomic(vals, os.path.join(MINHASH_VALUES_ROOT,
+                                       f"sf{_sf_of(sf_dir)}"))
+    tbl = _collect(minhash_candidate_pairs_from_values(vals))
+    schema = {"doc_a": pa.int64(), "doc_b": pa.int64(),
+              "est_jaccard": pa.float64()}
+    if tbl.num_rows == 0:
+        return pa.table({k: pa.array([], t) for k, t in schema.items()})
+    return tbl.select(list(schema.keys())).sort_by(
+        [("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
 NGRAM_VERIFY_THRESHOLD = 0.8
@@ -828,8 +885,11 @@ def ann_ivf_build(sf_dir: str, n_centroids: int = IVF_CENTROIDS,
         ANN_INDEX_ROOT,
         f"{tag}_c{n_centroids}_m{st.st_mtime_ns}_s{st.st_size}")
     cent_path = os.path.join(root, "centroids.npy")
-    if os.path.exists(os.path.join(root, "_SUCCESS")):
+    if os.path.exists(os.path.join(root, "_SUCCESS")) \
+            and os.path.exists(os.path.join(root, "centroids.parquet")):
         return root, np.load(cent_path)
+    import shutil as _sh
+    _sh.rmtree(root, ignore_errors=True)   # stale/incomplete layout
 
     sample_tbl = _collect(_embeddings(sf_dir)
                           .random_sample(0.5, seed=11).limit(sample_cap))
@@ -856,6 +916,15 @@ def ann_ivf_build(sf_dir: str, n_centroids: int = IVF_CENTROIDS,
     (_embeddings(sf_dir).map_batches(assign, batch_format="pyarrow")
      .write_parquet(tmp, partition_cols=["bucket"]))
     np.save(os.path.join(tmp, "centroids.npy"), cent)
+    # centroids as parquet too (normalized vectors) so the DuckDB oracle
+    # can recompute probe selection from the same quantizer
+    pq_cent = pa.table({
+        "bucket": pa.array(np.arange(len(cent), dtype=np.int64), pa.int64()),
+        "centroid": pa.FixedSizeListArray.from_arrays(
+            pa.array(cent.reshape(-1), pa.float64()), cent.shape[1]),
+    })
+    import pyarrow.parquet as _pq
+    _pq.write_table(pq_cent, os.path.join(tmp, "centroids.parquet"))
     with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
         f.write("")
     if os.path.isdir(root) and not os.path.exists(os.path.join(root, "_SUCCESS")):
@@ -892,6 +961,16 @@ def q_ann_topk_ivf(sf_dir: str) -> pa.Table:
     baseline is pinned by tests."""
     q_ids, q_matn = _query_matrix(sf_dir)
     root, cent = ann_ivf_build(sf_dir)
+    # stable alias for the fingerprinted index root, so the DuckDB oracle
+    # (SQL_ANN_TOPK_IVF) has a static path to the current index
+    alias = os.path.join(ANN_INDEX_ROOT, f"sf{_sf_of(sf_dir)}_latest")
+    tmp_link = f"{alias}.tmp-{os.getpid()}"
+    try:
+        os.makedirs(ANN_INDEX_ROOT, exist_ok=True)
+        os.symlink(root, tmp_link)
+        os.replace(tmp_link, alias)
+    except OSError:
+        pass
     probes = np.argsort(-(q_matn @ cent.T), axis=1)[:, :IVF_NPROBE]
     paths = ann_ivf_probe_paths(root, probes.ravel().tolist())
     if not paths:
@@ -907,6 +986,47 @@ def q_ann_topk_ivf(sf_dir: str) -> pa.Table:
         batch_format="pyarrow"))
     return _merge_topk(part, k=5)
 
+
+# IVF top-k recomputed in SQL from the engine-persisted index (bucket-
+# partitioned vectors + the spherical-kmeans centroids): probe selection
+# (top-nprobe centroids per query by dot product — both sides' ordering
+# is norm-invariant per query), candidate restriction to probed buckets,
+# exact cosine, per-query top-5 with the engine's (sim desc, id asc)
+# tie-break. Only the kmeans iteration itself is engine-side input.
+_ANN_ALIAS = f"{ANN_INDEX_ROOT}/sf0.01_latest"
+
+SQL_ANN_TOPK_IVF = """
+WITH idx AS (
+    SELECT vec_id, embedding, bucket_id
+    FROM read_parquet('{alias}/bucket=*/*.parquet')
+), cent AS (
+    SELECT bucket, centroid FROM read_parquet('{alias}/centroids.parquet')
+), q AS (
+    SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8
+), probes AS (
+    SELECT qid, bucket,
+           row_number() OVER (PARTITION BY qid ORDER BY
+               list_sum(list_transform(range(1, len(centroid) + 1),
+                        i -> CAST(qe[i] AS DOUBLE) * centroid[i])) DESC,
+               bucket ASC) AS pr
+    FROM q, cent
+), sel AS (
+    SELECT qid, bucket FROM probes WHERE pr <= {nprobe}
+), scored AS (
+    SELECT q.qid, i.vec_id, {cos} AS sim
+    FROM sel JOIN q ON q.qid = sel.qid
+             JOIN idx i ON i.bucket_id = sel.bucket
+    WHERE i.vec_id >= 8
+), ranked AS (
+    SELECT qid, vec_id, sim,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim DESC, vec_id ASC) AS rn
+    FROM scored
+)
+SELECT qid AS query_id, vec_id AS neighbor_id, ROUND(sim, 6) AS sim
+FROM ranked WHERE rn <= 5 ORDER BY query_id, sim DESC, neighbor_id
+""".format(alias=_ANN_ALIAS, nprobe=IVF_NPROBE,
+           cos=_COS_SQL.format(a="q.qe", b="i.embedding"))
 
 SQL_ANN_TOPK = """
 WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 8),
@@ -1308,6 +1428,33 @@ WHERE i * 1.0 / (ca.n + cb.n - i) >= 0.8
 ORDER BY doc_a, doc_b
 """
 
+# MinHash+LSH pairs recomputed in SQL from the engine-persisted per-doc
+# signatures + band keys (written by q_dedup_minhash): bucket join on
+# band_key, estimated jaccard = fraction of equal signature positions,
+# threshold, cross-band dedup, ordering. Checks everything downstream of
+# the hash family. (The engine's MAX_BUCKET hot-bucket cap is not modeled
+# — it never triggers on the test corpora, and a triggered cap would
+# surface here as a row-count mismatch, loudly.)
+SQL_DEDUP_MINHASH = f"""
+WITH vals AS (
+    SELECT doc_id, sig, band_keys
+    FROM read_parquet('{MINHASH_VALUES_ROOT}/sf0.01/*.parquet')
+), bands AS (
+    SELECT doc_id, unnest(band_keys) AS band_key FROM vals
+), cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band_key = b.band_key
+                             AND b.doc_id > a.doc_id
+), est AS (
+    SELECT doc_a, doc_b,
+           len(list_filter(range(1, 65), i -> va.sig[i] = vb.sig[i])) / 64.0 AS e
+    FROM cand JOIN vals va ON va.doc_id = cand.doc_a
+              JOIN vals vb ON vb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, ROUND(e, 6) AS est_jaccard FROM est
+WHERE e >= 0.7 ORDER BY doc_a, doc_b
+"""
+
 # SimHash pairs recomputed in SQL from the engine-persisted per-doc hash
 # values (written by q_dedup_simhash; deterministic given the fixed xxhash
 # word-hash family): chunk keys via bit arithmetic, pigeonhole join on
@@ -1333,6 +1480,7 @@ ORDER BY doc_a, doc_b
 
 ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
+    "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
     "comments_exploded": SQL_COMMENTS_EXPLODED,
     "politeness_summary": SQL_POLITENESS_SUMMARY,
@@ -1340,6 +1488,7 @@ ORACLE_SQL = {
     "dedup_ngram_verified": SQL_DEDUP_NGRAM,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "ann_topk": SQL_ANN_TOPK,
+    "ann_topk_ivf": SQL_ANN_TOPK_IVF,
     "langid": SQL_LANGID,
     "quality_scores": SQL_QUALITY_SCORES,
     "token_count_bpe": SQL_TOKEN_COUNT_BPE,

@@ -19,11 +19,13 @@ def ctx():
     import importlib
 
     entry = importlib.import_module("__ray_entry__")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
-    return entry.queries(), entry.oracle_sql(), con
+    cons = {}
+    for sf_dir in (SF_DIR, "/root/testdata/sf0.01"):
+        con = cons[sf_dir] = duckdb.connect()
+        for t in TABLES:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{sf_dir}/{t}.parquet')")
+    return entry.queries(), entry.oracle_sql(), cons
 
 
 def _names_with_oracle():
@@ -37,14 +39,15 @@ def _names_with_oracle():
 def test_query_matches_oracle(ctx, name):
     from tools.oracle_check import normalize, to_pandas
 
-    queries, oracles, con = ctx
-    # engine-persisted-artifact oracles (crawl output, simhash values,
-    # analysis inputs) hardcode their sf0.01 cache path (the driver's
-    # correctness gate runs at sf0.01) — run those at sf0.01 here too
+    queries, oracles, cons = ctx
+    # engine-persisted-artifact oracles (crawl output, simhash/minhash
+    # values, analysis inputs, the IVF index alias) hardcode their sf0.01
+    # cache path (the driver's correctness gate runs at sf0.01) — run
+    # those at sf0.01, with the table views bound to sf0.01 too
     sf_dir = ("/root/testdata/sf0.01" if "/tmp/grc_" in oracles[name]
               else SF_DIR)
     got = normalize(to_pandas(queries[name](sf_dir)))
-    exp = normalize(con.sql(oracles[name]).df())
+    exp = normalize(cons[sf_dir].sql(oracles[name]).df())
     assert list(got.columns) == list(exp.columns), name
     assert len(got) == len(exp), name
     assert got.equals(exp), f"{name}: value mismatch"
