@@ -109,6 +109,33 @@ def test_429_backoff_and_suspension(tmp_path, corpus):
     assert all(r["host"] != hot for r in posts2.to_pylist())
 
 
+def test_429_pre_grant_vs_streaming(tmp_path, corpus):
+    """Rate-limited hosts no longer force the streaming-offer path: the
+    owning shard consumes the 429 budget at offer time (pre_grant=True).
+    Terminal semantics must match the streaming path — same successful
+    posts, same hot-host suspension outcome (the two paths may differ in
+    WHERE the denial lineage row is emitted, frontier vs fetch)."""
+    pages, expected, seeds = corpus
+    hot = "bbs.ruliweb.com"
+    for budget, expect_suspended in ((2, False), (10, True)):
+        urls = {}
+        for mode, pre in (("pre", True), ("stream", False)):
+            cfg = CrawlConfig(num_frontier_shards=2, fetch_concurrency=1,
+                              pre_grant=pre)
+            res = run_crawl(pages, seeds, str(tmp_path / f"{mode}{budget}"),
+                            cfg, rate_limited={hot: budget})
+            posts = _read_posts(res)
+            urls[mode] = sorted(posts.column("url").to_pylist())
+            log = load_fetch_log(str(tmp_path / f"{mode}{budget}"))
+            st = collections.Counter(
+                r["status"] for r in log.to_pylist() if r["host"] == hot)
+            if expect_suspended:
+                assert st.get("ok", 0) == 0 and st["suspended"] >= 1, mode
+            else:
+                assert st.get("suspended", 0) == 0, mode
+        assert urls["pre"] == urls["stream"], budget
+
+
 def test_robots_denial(tmp_path, corpus):
     pages, expected, seeds = corpus
     cfg = CrawlConfig(num_frontier_shards=2, fetch_concurrency=1)
