@@ -221,7 +221,11 @@ def rolling_fingerprint(text: str, base: int = 1_000_003,
     base power ``p`` per round — O(n) work in ~log2(n) vectorized passes
     instead of a per-character Python loop (pinned to the loop's exact
     values by golden + property tests)."""
-    if mod != (1 << 61) - 1 or len(text) < 64:
+    # the no-mod level-1 fold below is only exact for small bases
+    # (code points < 2^21, so v*base + v < 2^42 needs base < 2^20, and the
+    # one-subtraction reduction per level needs level-1 values < 2 mod);
+    # larger custom bases take the fully-reduced per-char path
+    if mod != (1 << 61) - 1 or len(text) < 64 or (base % mod) >= (1 << 20):
         return _rolling_fingerprint_py(text, base, mod)
     codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
     n = len(codes)

@@ -139,7 +139,12 @@ def normalize_url_batch(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
         urls = urls.combine_chunks()
     s = pc.utf8_lower(pc.utf8_trim_whitespace(urls))
     out = pc.replace_substring_regex(s, r"(?s)#.*$", "")
-    out = pc.replace_substring_regex(out, r"/*\?$", "", max_replacements=1)
+    # bare trailing '?' (empty query) is dropped ONLY when it is the first
+    # '?' in the string — 'http://a/b?x=1?' keeps its query verbatim
+    # (urlparse: query='x=1?'); the unanchored r"/*\?$" used here before
+    # round 5 wrongly stripped the final '?' of a non-empty query
+    out = pc.replace_substring_regex(out, r"^([^?]*?)/*\?$", r"\1",
+                                     max_replacements=1)
     out = pc.replace_substring_regex(out, r"^([^?]*?)/*\?", r"\1?",
                                      max_replacements=1)
     out = pc.replace_substring_regex(out, r"^([^?]*?)/+$", r"\1",

@@ -467,15 +467,21 @@ def preload_from_checkpoint(frontier, out_dir: str, num_shards: int) -> int:
     if not files:
         return 0
     ds = ray.data.read_parquet(
-        files, columns=["url_norm", "status", "partition_id"])
+        files, columns=["url_norm", "host", "status"])
 
     def preload(batch: pa.Table) -> pa.Table:
-        from ..functions.urlnorm import url_hash64_batch
+        from ..functions.urlnorm import host_shard_ids, url_hash64_batch
 
         mask = pc.is_in(batch.column("status"),
                         value_set=pa.array(TERMINAL_STATUSES))
         sel = batch.filter(mask)
-        parts = sel.column("partition_id").to_numpy(zero_copy_only=False)
+        # recompute the owning shard from the logged host with the CURRENT
+        # hash family — the persisted partition_id was computed by the
+        # original run, and the url-hash family (polars xxhash / blake2b
+        # fallback) is not guaranteed stable across environments; routing
+        # by a stale shard id would preload the wrong seen-set and
+        # re-crawl duplicates (ADVICE r04)
+        parts = host_shard_ids(sel.column("host"), num_shards)
         hashes = np.asarray(url_hash64_batch(sel.column("url_norm"))
                             .to_numpy(zero_copy_only=False), dtype=np.uint64)
         refs = [frontier[int(s)].preload_hashes.remote(hashes[parts == s])

@@ -98,6 +98,12 @@ def test_rolling_fingerprint_vectorized():
         n = rng.randrange(0, 600)
         s = "".join(chr(rng.randrange(32, 0xD700)) for _ in range(n))
         assert H.rolling_fingerprint(s) == H._rolling_fingerprint_py(s)
+    # large custom bases (approaching 2^61) would overflow the no-mod
+    # level-1 fold — they must route to the fully-reduced per-char path
+    big_base = (1 << 61) - 129
+    s = "overflow guard check " * 10
+    assert H.rolling_fingerprint(s, base=big_base) == \
+        H._rolling_fingerprint_py(s, big_base, (1 << 61) - 1)
 
 
 def test_ann_topk_matches_bruteforce(tmp_path):

@@ -61,7 +61,7 @@ URLISH = st.one_of(
         st.sampled_from(["http", "https", "HTTP", "HTTPS", "ftp"]),
         st.from_regex(r"[A-Za-z0-9.\-]{1,20}", fullmatch=True),
         st.from_regex(r"(/[A-Za-z0-9._~%\-]{0,10}){0,4}/?", fullmatch=True),
-        st.one_of(st.just(""), st.from_regex(r"\?[A-Za-z0-9=&/]{0,12}", fullmatch=True)),
+        st.one_of(st.just(""), st.from_regex(r"\?[A-Za-z0-9=&/?]{0,12}", fullmatch=True)),
         st.one_of(st.just(""), st.from_regex(r"#[A-Za-z0-9/?]{0,8}", fullmatch=True)),
     ),
 )
@@ -72,3 +72,23 @@ def test_fast_normalize_equals_reference_impl(u):
     from game_review_crawler_ray.functions.urlnorm import _normalize_fast
 
     assert _normalize_fast(u) == normalize_url(u)
+
+
+@given(st.lists(URLISH, min_size=1, max_size=8))
+def test_batch_normalize_equals_reference_impl(us):
+    # the vectorized RE2 kernel must agree with the per-row reference on
+    # arbitrary text, including query strings that themselves contain '?'
+    # (regression: 'http://a/b?x=1?' must keep its trailing '?')
+    from game_review_crawler_ray.functions.urlnorm import normalize_url_batch
+
+    got = normalize_url_batch(pa.array(us, type=pa.string())).to_pylist()
+    assert got == [normalize_url(u) for u in us]
+
+
+def test_batch_normalize_trailing_question_regressions():
+    from game_review_crawler_ray.functions.urlnorm import normalize_url_batch
+
+    cases = ["http://a/b?x=1?", "http://a/??", "http://a/b/?", "?",
+             "http://a/b?", "http://a/b?//", "http://a/b/??x"]
+    got = normalize_url_batch(pa.array(cases, type=pa.string())).to_pylist()
+    assert got == [normalize_url(u) for u in cases]
