@@ -113,29 +113,23 @@ def minhash_values(ds: ray.data.Dataset,
     return ds.map_batches(stage, batch_format="pandas")
 
 
-def _band_rows(batch: pa.Table) -> pd.DataFrame:
-    """values -> 8 band rows per doc (doc_id, band_key, coarse, sig bytes)
-    for the bucket groupby."""
-    n = batch.num_rows
+def _band_rows(batch: pa.Table) -> pa.Table:
+    """values -> 8 band rows per doc: (doc_id, band_key, coarse) ONLY —
+    ~24 B per (doc, band) through the bucket shuffle. The 512-byte
+    signatures rejoin the far smaller deduped candidate-pair set via
+    ``_attach_pair_payload_auto`` and the estimate runs there (VERDICT
+    r04 item 3: the previous shape replicated each signature x8 bands)."""
     ids = np.asarray(batch.column("doc_id").to_numpy(zero_copy_only=False),
                      dtype=np.int64)
-    sig_col = batch.column("sig")
-    if isinstance(sig_col, pa.ChunkedArray):
-        sig_col = sig_col.combine_chunks()
-    sigs = np.asarray(sig_col.flatten().to_numpy(zero_copy_only=False),
-                      dtype=np.uint64).reshape(n, H._N_PERM)
     kc = batch.column("band_keys")
     if isinstance(kc, pa.ChunkedArray):
         kc = kc.combine_chunks()
-    keys = np.asarray(kc.flatten().to_numpy(zero_copy_only=False),
-                      dtype=np.int64).reshape(n, H._BANDS)
-    sig_bytes = [sigs[i].tobytes() for i in range(n)]
-    flat_keys = keys.reshape(-1)
-    return pd.DataFrame({
-        "doc_id": np.repeat(ids, H._BANDS),
-        "band_key": flat_keys,
-        "coarse": _coarse_of(flat_keys),
-        "sig": [b for b in sig_bytes for _ in range(H._BANDS)],
+    flat_keys = np.asarray(kc.flatten().to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array(np.repeat(ids, H._BANDS), pa.int64()),
+        "band_key": pa.array(flat_keys, pa.int64()),
+        "coarse": pa.array(_coarse_of(flat_keys), pa.int64()),
     })
 
 
@@ -164,41 +158,37 @@ def _bucket_bounds(keys: np.ndarray, ids: np.ndarray) -> tuple[np.ndarray, np.nd
     return order, bounds
 
 
-def _bucket_pairs(group: pd.DataFrame, est_threshold: float) -> pa.Table:
+def _bucket_id_pairs(group: pd.DataFrame, id_col: str, key_col: str,
+                     tag: str) -> pa.Table:
+    """One coarse partition -> resolve real ``key_col`` buckets locally
+    (see _bucket_bounds for why the Ray shuffle is coarse-keyed) and emit
+    every in-bucket id pair as a CANDIDATE — ids only; the similarity
+    measure (signature estimate / cosine) runs in the verify stage once
+    the per-doc payload is joined back on."""
     if not len(group):
         return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "est_jaccard": pa.array([], pa.float64())})
-    keys = group["band_key"].to_numpy(dtype=np.int64)
-    ids_all = group["doc_id"].to_numpy(dtype=np.int64)
-    sig_all = np.frombuffer(b"".join(group["sig"]),
-                            dtype=np.uint64).reshape(len(group), -1)
+                         "doc_b": pa.array([], pa.int64())})
+    keys = group[key_col].to_numpy(dtype=np.int64)
+    ids_all = group[id_col].to_numpy(dtype=np.int64)
     order, bounds = _bucket_bounds(keys, ids_all)
-    ids_all, sig_all = ids_all[order], sig_all[order]
-    a_out, b_out, est_out = [], [], []
+    ids_all = ids_all[order]
+    a_o, b_o = [], []
     for s, e in zip(bounds[:-1], bounds[1:]):
         if e - s < 2:
             continue
         if e - s > MAX_BUCKET:
-            print(f"[dedup_minhash] hot bucket truncated: {e - s} -> {MAX_BUCKET} docs")
+            print(f"[{tag}] hot bucket truncated: {e - s} -> {MAX_BUCKET} docs")
             e = s + MAX_BUCKET
         ids = ids_all[s:e]
-        sig = sig_all[s:e]
-        # pairwise estimated jaccard: mean positionwise signature equality
-        est = (sig[:, None, :] == sig[None, :, :]).mean(axis=2)
-        iu, ju = np.nonzero(np.triu(est >= est_threshold, k=1)
-                            & (ids[None, :] != ids[:, None]))
-        a_out.append(ids[iu])
-        b_out.append(ids[ju])
-        est_out.append(est[iu, ju])
-    if not a_out:
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = ids[iu] != ids[ju]
+        a_o.append(ids[iu][keep])
+        b_o.append(ids[ju][keep])
+    if not a_o:
         return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64()),
-                         "est_jaccard": pa.array([], pa.float64())})
-    return pa.table({"doc_a": pa.array(np.concatenate(a_out), pa.int64()),
-                     "doc_b": pa.array(np.concatenate(b_out), pa.int64()),
-                     "est_jaccard": pa.array(round6(np.concatenate(est_out)),
-                                             pa.float64())})
+                         "doc_b": pa.array([], pa.int64())})
+    return pa.table({"doc_a": pa.array(np.concatenate(a_o), pa.int64()),
+                     "doc_b": pa.array(np.concatenate(b_o), pa.int64())})
 
 
 def _pair_pk(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -326,23 +316,170 @@ def _attach_pair_payload(pairs: ray.data.Dataset, payload: ray.data.Dataset,
     return valued.groupby("pk").map_groups(pivot, batch_format="pandas")
 
 
+# in-memory payload budget under which the verify-join broadcasts one
+# id->value lookup (ray.put once, read per task) instead of paying the
+# two keyed shuffles of _attach_pair_payload — at sf<=0.1 every payload
+# fits and the broadcast path is ~3x faster end-to-end; at 100-TB scale
+# payloads exceed it by orders of magnitude and the shuffle join runs
+# (same auto-select pattern as cfg.seed_prep="auto", crawl.py)
+BROADCAST_PAYLOAD_BUDGET = 256 << 20
+
+
+def _broadcast_ok(payload_bytes: int | None) -> bool:
+    return (payload_bytes is not None
+            and payload_bytes <= BROADCAST_PAYLOAD_BUDGET)
+
+
+PAIR_DRIVER_DEDUP_MAX = 5_000_000  # raw candidate rows (16 B each)
+
+
+def _dedup_pairs_adaptive(cand: ray.data.Dataset,
+                          broadcast_mode: bool) -> ray.data.Dataset:
+    """Cross-band pair dedup, size-adaptive like the verify-join: in the
+    broadcast regime the raw id-pairs are collected (16 B/row, bounded by
+    PAIR_DRIVER_DEDUP_MAX) and deduped with one driver lexsort — saving
+    the keyed all-to-all, which is pure fixed overhead at small scale.
+    The result is re-sliced into blocks so the verify stage stays
+    parallel. Above the bound (or in the scale regime) the keyed-shuffle
+    dedup runs unchanged."""
+    if broadcast_mode:
+        c = cand.materialize()
+        if c.count() <= PAIR_DRIVER_DEDUP_MAX:
+            tbl = _collect(c)
+            a = np.asarray(tbl.column("doc_a").to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            b = np.asarray(tbl.column("doc_b").to_numpy(zero_copy_only=False),
+                           dtype=np.int64)
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            keep = np.concatenate(([True],
+                                   (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+            out = pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                            "doc_b": pa.array(b[keep], pa.int64())})
+            per = max(4096, (out.num_rows + 63) // 64)
+            slices = [out.slice(i, per) for i in range(0, max(out.num_rows, 1),
+                                                       per)]
+            return ray.data.from_arrow([s for s in slices if s.num_rows]
+                                       or [out])
+        cand = c
+    return _dedup_pairs_ds(cand, ["doc_a", "doc_b"])
+
+
+def _attach_pair_payload_auto(pairs: ray.data.Dataset,
+                              payload: ray.data.Dataset,
+                              id_col: str, val_col: str,
+                              val_type: pa.DataType,
+                              payload_bytes: int | None) -> ray.data.Dataset:
+    """Size-adaptive verify-join (VERDICT r04 item 2). ``payload_bytes``
+    is the caller's in-memory estimate of the payload column (None =
+    unknown = assume big); under BROADCAST_PAYLOAD_BUDGET the lookup is
+    collected once, ``ray.put``, and resolved with one searchsorted per
+    batch — no shuffle. Output schema matches ``_attach_pair_payload``:
+    (doc_a, doc_b, val_a, val_b)."""
+    if not _broadcast_ok(payload_bytes):
+        return _attach_pair_payload(pairs, payload, id_col, val_col, val_type)
+
+    tbl = _collect(payload)
+    ids = np.asarray(tbl.column(id_col).to_numpy(zero_copy_only=False),
+                     dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    ids_sorted = ids[order]
+    vals_sorted = tbl.column(val_col).take(pa.array(order)).to_pylist()
+    ref = ray.put((ids_sorted, vals_sorted))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch.column("doc_a").to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        b = np.asarray(batch.column("doc_b").to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+        if not len(a):
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "val_a": pa.array([], val_type),
+                             "val_b": pa.array([], val_type)})
+        k, v = ray.get(ref)
+        ia = np.searchsorted(k, a)
+        ib = np.searchsorted(k, b)
+        return pa.table({
+            "doc_a": pa.array(a, pa.int64()),
+            "doc_b": pa.array(b, pa.int64()),
+            "val_a": pa.array([v[i] for i in ia], val_type),
+            "val_b": pa.array([v[i] for i in ib], val_type),
+        })
+
+    return pairs.map_batches(attach, batch_format="pyarrow")
+
+
+def _sig_payload(batch: pa.Table) -> pa.Table:
+    """(doc_id, signature bytes) — the minhash verify-join payload."""
+    n = batch.num_rows
+    sig_col = batch.column("sig")
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    sigs = np.asarray(sig_col.flatten().to_numpy(zero_copy_only=False),
+                      dtype=np.uint64).reshape(n, H._N_PERM)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "sig": pa.array([sigs[i].tobytes() for i in range(n)], pa.binary()),
+    })
+
+
 def minhash_candidate_pairs_from_values(vals: ray.data.Dataset,
-                                        est_threshold: float = 0.7
+                                        est_threshold: float = 0.7,
+                                        payload_bytes: int | None = None
                                         ) -> ray.data.Dataset:
-    """values -> band rows -> bucket groupby -> in-bucket pairs, deduped
-    across bands with a second keyed groupby (a pair can fire in several
-    bands). Dataset out — nothing pair-sized on the driver."""
+    """values -> slim band rows (ids+keys only) -> bucket groupby ->
+    in-bucket id pairs -> cross-band dedup -> signatures rejoined onto the
+    deduped candidates (size-adaptive) -> vectorized positionwise-equality
+    estimate + threshold. Dataset out — nothing pair-sized on the driver.
+
+    Semantics are unchanged from the pre-r05 shape (the estimate is a
+    function of the two full signatures, identical in whichever band a
+    pair fires), but the band shuffle now moves ~24 B per (doc, band)
+    instead of the 512-byte signature x8 bands."""
     bands = vals.map_batches(_band_rows, batch_format="pyarrow")
-    pairs = bands.groupby("coarse").map_groups(
-        lambda g: _bucket_pairs(g, est_threshold), batch_format="pandas")
-    return _dedup_pairs_ds(pairs, ["doc_a", "doc_b"])
+    cand = bands.groupby("coarse").map_groups(
+        lambda g: _bucket_id_pairs(g, "doc_id", "band_key", "dedup_minhash"),
+        batch_format="pandas")
+    joined = _attach_pair_payload_auto(
+        _dedup_pairs_adaptive(cand, _broadcast_ok(payload_bytes)),
+        vals.map_batches(_sig_payload, batch_format="pyarrow"),
+        "doc_id", "sig", pa.binary(), payload_bytes)
+
+    def estimate(batch: pd.DataFrame) -> pa.Table:
+        if not len(batch):
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        a = np.frombuffer(b"".join(batch["val_a"]),
+                          dtype=np.uint64).reshape(len(batch), -1)
+        b = np.frombuffer(b"".join(batch["val_b"]),
+                          dtype=np.uint64).reshape(len(batch), -1)
+        est = (a == b).mean(axis=1)
+        keep = est >= est_threshold
+        return pa.table({
+            "doc_a": pa.array(batch["doc_a"].to_numpy(np.int64)[keep],
+                              pa.int64()),
+            "doc_b": pa.array(batch["doc_b"].to_numpy(np.int64)[keep],
+                              pa.int64()),
+            "est_jaccard": pa.array(round6(est[keep]), pa.float64()),
+        })
+
+    return joined.map_batches(estimate, batch_format="pandas")
+
+
+def _sig_payload_bytes(vals: ray.data.Dataset) -> int:
+    """In-memory estimate of the signature payload for the broadcast
+    decision: ``count`` on a MATERIALIZED values dataset is metadata-only."""
+    return vals.count() * (H._N_PERM * 8 + 32)
 
 
 def minhash_candidate_pairs_ds(ds: ray.data.Dataset,
                                est_threshold: float = 0.7,
                                features: str = "word") -> ray.data.Dataset:
-    return minhash_candidate_pairs_from_values(minhash_values(ds, features),
-                                               est_threshold)
+    vals = minhash_values(ds, features).materialize()
+    return minhash_candidate_pairs_from_values(vals, est_threshold,
+                                               _sig_payload_bytes(vals))
 
 
 def minhash_candidate_pairs(ds: ray.data.Dataset, est_threshold: float = 0.7,
@@ -369,7 +506,8 @@ def q_dedup_minhash(sf_dir: str) -> pa.Table:
         .materialize()
     _persist_atomic(vals, os.path.join(MINHASH_VALUES_ROOT,
                                        f"sf{_sf_of(sf_dir)}"))
-    tbl = _collect(minhash_candidate_pairs_from_values(vals))
+    tbl = _collect(minhash_candidate_pairs_from_values(
+        vals, payload_bytes=_sig_payload_bytes(vals)))
     schema = {"doc_a": pa.int64(), "doc_b": pa.int64(),
               "est_jaccard": pa.float64()}
     if tbl.num_rows == 0:
@@ -397,9 +535,13 @@ def q_dedup_ngram_verified(sf_dir: str) -> pa.Table:
     cands = minhash_candidate_pairs_ds(
         _docs(sf_dir, columns=["doc_id", "text"]),
         est_threshold=0.5, features="char")
-    joined = _attach_pair_payload(cands,
-                                  _docs(sf_dir, columns=["doc_id", "text"]),
-                                  "doc_id", "text", pa.string())
+    # broadcast-vs-shuffle decision from the docs parquet's disk size
+    # (x4 decompression allowance — conservative against the 256MB budget)
+    doc_bytes = os.path.getsize(os.path.join(sf_dir, "documents.parquet")) * 4
+    joined = _attach_pair_payload_auto(cands,
+                                       _docs(sf_dir, columns=["doc_id", "text"]),
+                                       "doc_id", "text", pa.string(),
+                                       doc_bytes)
 
     def verify(batch: pd.DataFrame) -> pa.Table:
         a_o, b_o, j_o = [], [], []
@@ -605,34 +747,8 @@ class _LshBandStage:
 
 
 def _emb_bucket_candidates(group: pd.DataFrame) -> pa.Table:
-    """One coarse partition -> resolve real band_key buckets locally
-    (see _bucket_bounds for why the Ray shuffle is coarse-keyed) and emit
-    every in-bucket id pair as a CANDIDATE (ids only; the cosine runs in
-    the verify stage once the vectors are joined back on)."""
-    if not len(group):
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
-    keys = group["band_key"].to_numpy(dtype=np.int64)
-    ids_all = group["vec_id"].to_numpy(dtype=np.int64)
-    order, bounds = _bucket_bounds(keys, ids_all)
-    ids_all = ids_all[order]
-    a_o, b_o = [], []
-    for s, e in zip(bounds[:-1], bounds[1:]):
-        if e - s < 2:
-            continue
-        if e - s > MAX_BUCKET:
-            print(f"[embedding_neardup] hot bucket truncated: {e - s} -> {MAX_BUCKET}")
-            e = s + MAX_BUCKET
-        ids = ids_all[s:e]
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = ids[iu] != ids[ju]
-        a_o.append(ids[iu][keep])
-        b_o.append(ids[ju][keep])
-    if not a_o:
-        return pa.table({"doc_a": pa.array([], pa.int64()),
-                         "doc_b": pa.array([], pa.int64())})
-    return pa.table({"doc_a": pa.array(np.concatenate(a_o), pa.int64()),
-                     "doc_b": pa.array(np.concatenate(b_o), pa.int64())})
+    """In-bucket id pairs for one coarse partition (shared kernel)."""
+    return _bucket_id_pairs(group, "vec_id", "band_key", "embedding_neardup")
 
 
 def _emb_payload(batch: pa.Table) -> pa.Table:
@@ -646,7 +762,8 @@ def _emb_payload(batch: pa.Table) -> pa.Table:
 
 
 def embedding_neardup_pairs(ds: ray.data.Dataset,
-                            threshold: float = 0.9) -> pa.Table:
+                            threshold: float = 0.9,
+                            payload_bytes: int | None = None) -> pa.Table:
     """LSH-bucketed near-dup pairs: hyperplane signature bands in
     map_batches (ids + band keys only), candidate id-pairs from
     ``groupby(band_key)``, cross-band dedupe, then vectors joined onto the
@@ -663,10 +780,10 @@ def embedding_neardup_pairs(ds: ray.data.Dataset,
                            batch_format="pyarrow")
     cand = bands.groupby("coarse").map_groups(_emb_bucket_candidates,
                                               batch_format="pandas")
-    joined = _attach_pair_payload(_dedup_pairs_ds(cand, ["doc_a", "doc_b"]),
-                                  ds.map_batches(_emb_payload,
-                                                 batch_format="pyarrow"),
-                                  "doc_id", "emb", pa.binary())
+    joined = _attach_pair_payload_auto(
+        _dedup_pairs_adaptive(cand, _broadcast_ok(payload_bytes)),
+        ds.map_batches(_emb_payload, batch_format="pyarrow"),
+        "doc_id", "emb", pa.binary(), payload_bytes)
 
     def verify(batch: pd.DataFrame) -> pa.Table:
         if not len(batch):
@@ -728,9 +845,13 @@ def embedding_neardup_brute(ds: ray.data.Dataset, full_tbl: pa.Table,
 
 
 def q_embedding_neardup(sf_dir: str) -> pa.Table:
-    """Cosine >= 0.9 pairs (i<j) via the LSH-bucketed scale path (in-bucket
-    math is exact; planted-dup tests pin recall vs the brute baseline)."""
-    return embedding_neardup_pairs(_embeddings(sf_dir))
+    """Cosine >= 0.9 pairs (i<j) via the LSH-bucketed scale path (the
+    verify math is exact; planted-dup tests pin recall vs the brute
+    baseline). The verify-join payload decision comes from the parquet's
+    disk size (float columns barely compress, x4 is a safe allowance)."""
+    emb_bytes = os.path.getsize(os.path.join(sf_dir, "embeddings.parquet")) * 4
+    return embedding_neardup_pairs(_embeddings(sf_dir),
+                                   payload_bytes=emb_bytes)
 
 
 # NOTE: DuckDB's list_cosine_similarity accumulates in float32; the engine

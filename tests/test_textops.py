@@ -166,6 +166,35 @@ def test_embedding_neardup_lsh_matches_brute(tmp_path):
     for g, b in zip(got.column("sim").to_pylist(), brute.column("sim").to_pylist()):
         assert abs(g - b) < 1e-9
 
+    # the SCALE verify-join (two keyed shuffles; payload_bytes=None forces
+    # it) must produce the identical table as the broadcast path above
+    from game_review_crawler_ray.pipelines.textops import embedding_neardup_pairs
+
+    shuffled = embedding_neardup_pairs(_embeddings(str(tmp_path)),
+                                       payload_bytes=None)
+    assert shuffled.equals(got)
+
+
+def test_minhash_shuffle_join_equals_broadcast():
+    """dedup_minhash's size-adaptive verify-join: the reduce-side shuffle
+    path (payload_bytes=None) and the broadcast path must agree exactly."""
+    from game_review_crawler_ray.pipelines.textops import (
+        _sig_payload_bytes, minhash_candidate_pairs_from_values, minhash_values,
+    )
+    from game_review_crawler_ray.pipelines.analytics import _collect
+
+    vals = minhash_values(_docs_with_dups()).materialize()
+
+    def run(hint):
+        tbl = _collect(minhash_candidate_pairs_from_values(
+            vals, est_threshold=0.5, payload_bytes=hint))
+        return tbl.sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+    a = run(_sig_payload_bytes(vals))
+    b = run(None)
+    assert a.num_rows > 0
+    assert a.equals(b)
+
 
 def test_ann_ivf_recall(tmp_path):
     """IVF probe path: recall@5 vs brute force >= 0.8 on clustered data."""
