@@ -1423,25 +1423,66 @@ def q_politeness_summary(sf_dir: str) -> pa.Table:
 # Registry
 # ---------------------------------------------------------------------------
 
-def q_media_features(sf_dir: str) -> pa.Table:
-    """Multimodal decode/feature pipeline on a deterministic media table
-    scaled to the sf (rows-only: binary payloads are not a driver view)."""
-    from ..stages.multimodal import gen_media, media_features
+MEDIA_META_ROOT = "/tmp/grc_media"
+
+
+def _media_table(sf_dir: str) -> pa.Table:
+    """The deterministic media table for this sf, with its metadata
+    (payload lengths + byte values as list<int32>) persisted as parquet so
+    the DuckDB oracles can independently recompute feature norms and
+    frame-sampling arithmetic from the same inputs."""
+    import pyarrow.parquet as pq
+    import uuid
+
+    from ..stages.multimodal import gen_media
 
     n = max(100, int(_sf_of(sf_dir) * 20_000))
-    out = media_features(gen_media(n, seed=42))
+    media = gen_media(n, seed=42)
+    payloads = media.column("payload").to_pylist()
+    meta = pa.table({
+        "media_id": media.column("media_id"),
+        "kind": media.column("kind"),
+        "width": media.column("width"),
+        "height": media.column("height"),
+        "sample_rate": media.column("sample_rate"),
+        "payload_len": pa.array([len(p) for p in payloads], pa.int64()),
+        "bytes": pa.array([list(p) for p in payloads], pa.list_(pa.int32())),
+    })
+    target = os.path.join(MEDIA_META_ROOT, f"sf{_sf_of(sf_dir)}")
+    os.makedirs(target, exist_ok=True)
+    tmp = os.path.join(target, f".tmp-{uuid.uuid4().hex}")
+    pq.write_table(meta, tmp)
+    os.replace(tmp, os.path.join(target, "media.parquet"))
+    return media
+
+
+def q_media_features(sf_dir: str) -> pa.Table:
+    """Multimodal decode/feature pipeline on a deterministic media table
+    scaled to the sf. feat_norm is SQL-checked (SQL_MEDIA_FEATURES) from
+    the persisted byte values; the float32 feature vectors themselves are
+    covered by pytest (binary payloads are not a driver view)."""
+    from ..stages.multimodal import media_features
+
+    out = media_features(_media_table(sf_dir))
     tbl = _collect(out)
-    return tbl.select(["media_id", "kind", "width", "height",
-                       "sample_rate", "feat_norm"]).sort_by("media_id")
+    return pa.table({
+        "media_id": tbl.column("media_id"),
+        "kind": tbl.column("kind"),
+        "width": tbl.column("width"),
+        "height": tbl.column("height"),
+        "sample_rate": tbl.column("sample_rate"),
+        "feat_norm": pa.array(round6(
+            tbl.column("feat_norm").to_numpy(zero_copy_only=False)),
+            pa.float64()),
+    }).sort_by("media_id")
 
 
 def q_media_frames(sf_dir: str) -> pa.Table:
-    """Frame-sampling stage: one row per sampled frame, frame sizes only
-    (rows-only: binary frames are not a driver view)."""
-    from ..stages.multimodal import gen_media, media_frames
+    """Frame-sampling stage: one row per sampled frame, frame sizes only —
+    pure arithmetic over payload lengths, SQL-checked (SQL_MEDIA_FRAMES)."""
+    from ..stages.multimodal import media_frames
 
-    n = max(100, int(_sf_of(sf_dir) * 20_000))
-    out = media_frames(gen_media(n, seed=42))
+    out = media_frames(_media_table(sf_dir))
 
     def sizes(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as _pc
@@ -1556,6 +1597,54 @@ ORDER BY doc_a, doc_b
 # the hash family. (The engine's MAX_BUCKET hot-bucket cap is not modeled
 # — it never triggers on the test corpora, and a triggered cap would
 # surface here as a row-count mismatch, loudly.)
+# Media-feature norms recomputed in SQL from the engine-persisted payload
+# byte values (written by q_media_features/_media_table; deterministic):
+# 16-bin byte histogram (bin = v // 16 — the engine's np.linspace(0,256,17)
+# edges), count/len in DOUBLE, L2 norm. Checks the whole decode-stub
+# arithmetic downstream of payload generation.
+SQL_MEDIA_FEATURES = f"""
+WITH m AS (
+    SELECT * FROM read_parquet('{MEDIA_META_ROOT}/sf0.01/media.parquet')
+), u AS (
+    SELECT media_id, unnest(bytes) AS v FROM m
+), h AS (
+    SELECT media_id, v // 16 AS bin, count(*) AS c FROM u GROUP BY 1, 2
+)
+SELECT m.media_id, m.kind, m.width, m.height, m.sample_rate,
+       ROUND(sqrt(sum(pow(h.c / CAST(m.payload_len AS DOUBLE), 2))), 6)
+           AS feat_norm
+FROM h JOIN m USING (media_id)
+GROUP BY m.media_id, m.kind, m.width, m.height, m.sample_rate
+ORDER BY m.media_id
+"""
+
+# Frame sampling is pure arithmetic over payload lengths: image rows emit
+# one whole-payload frame; audio rows emit k = min(4, len//256) frames of
+# 256 bytes at start = (j*n//k)*256 (FrameSampler's uniform stride).
+SQL_MEDIA_FRAMES = f"""
+WITH m AS (
+    SELECT * FROM read_parquet('{MEDIA_META_ROOT}/sf0.01/media.parquet')
+), img AS (
+    SELECT media_id, 0 AS frame_idx, payload_len AS frame_bytes
+    FROM m WHERE kind = 'image'
+), a AS (
+    SELECT media_id, payload_len,
+           GREATEST(1, payload_len // 256) AS n,
+           LEAST(4, GREATEST(1, payload_len // 256)) AS k
+    FROM m WHERE kind <> 'image'
+), aud0 AS (
+    SELECT media_id, payload_len, n, k, unnest(range(k)) AS j FROM a
+), aud AS (
+    SELECT media_id, j AS frame_idx,
+           LEAST(256, payload_len - ((j * n) // k) * 256) AS frame_bytes
+    FROM aud0
+)
+SELECT media_id, frame_idx, frame_bytes FROM img
+UNION ALL
+SELECT media_id, frame_idx, frame_bytes FROM aud
+ORDER BY media_id, frame_idx
+"""
+
 SQL_DEDUP_MINHASH = f"""
 WITH vals AS (
     SELECT doc_id, sig, band_keys
@@ -1603,6 +1692,8 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "dedup_minhash": SQL_DEDUP_MINHASH,
     "dedup_simhash": SQL_DEDUP_SIMHASH,
+    "media_features": SQL_MEDIA_FEATURES,
+    "media_frames": SQL_MEDIA_FRAMES,
     "comments_exploded": SQL_COMMENTS_EXPLODED,
     "politeness_summary": SQL_POLITENESS_SUMMARY,
     "crawl_posts": SQL_CRAWL_POSTS,

@@ -80,13 +80,18 @@ class FakeDecoder:
         self.edges = np.linspace(0, 256, feature_dim + 1)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = []
+        feats, norms = [], []
         for payload in batch.column("payload").to_pylist():
             arr = np.frombuffer(payload, dtype=np.uint8)
             hist, _ = np.histogram(arr, bins=self.edges)
-            feats.append((hist / max(1, len(arr))).astype(np.float32))
+            histf = hist / max(1, len(arr))           # float64
+            feats.append(histf.astype(np.float32))
+            # norm from the float64 histogram (not the float32 feature) so
+            # the SQL oracle — which recomputes count/len in DOUBLE from
+            # the persisted byte values — reproduces it bit-for-bit
+            norms.append(float(np.linalg.norm(histf)))
         feat_arr = pa.array([f.tolist() for f in feats], pa.list_(pa.float32()))
-        norm = pa.array([float(np.linalg.norm(f)) for f in feats], pa.float64())
+        norm = pa.array(norms, pa.float64())
         out = batch.drop_columns(["payload"])  # wide binary never flows on
         return out.append_column("feature", feat_arr).append_column("feat_norm", norm)
 
