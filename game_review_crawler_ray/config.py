@@ -60,6 +60,15 @@ class CrawlConfig:
     # instead of sleeping (corpus-backed fetch has no real remote to protect;
     # a live HTTP deployment sets this False to enforce wall-clock pacing).
     virtual_clock: bool = True
+    # fetch stage: "corpus" (object-store lookup over the pages table) or
+    # "http" (live requests.Session per worker; pages input is ignored).
+    fetcher: str = "corpus"
+    http_connect_timeout: float = 10.0   # content_crawler.py:79
+    http_read_timeout: float = 30.0      # content_crawler.py:80
+    # scale on the 2^retry-second inline 429 backoff sleep (1.0 = the
+    # reference's 2,4,8 s; tests shrink it — the retry/suspension state
+    # machine is unaffected)
+    http_backoff_scale: float = 1.0
 
     def __post_init__(self) -> None:
         jmin, jmax = self.jitter_range

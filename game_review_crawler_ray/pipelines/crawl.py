@@ -569,7 +569,12 @@ def run_crawl(
     # (corpus_ref, index_ref) tuple to amortize the put + index build.
     from ..stages.fetch import build_corpus_index
 
-    if isinstance(pages, tuple):
+    if cfg.fetcher == "http":
+        # live HTTP mode: no corpus to broadcast — fetch goes to the wire
+        corpus_ref = index_ref = None
+        _mark("corpus_load")
+        _mark("corpus_put")
+    elif isinstance(pages, tuple):
         corpus_ref, index_ref = pages
         _mark("corpus_load")
         _mark("corpus_put")
@@ -655,18 +660,28 @@ def run_crawl(
             ds = ds.map_batches(frontier_offer_fn(frontier,
                                                   cfg.num_frontier_shards),
                                 batch_format="pyarrow")
-        from ..stages.fetch import make_corpus_fetch_fn
+        from ..stages.fetch import make_corpus_fetch_fn, make_http_fetch_fn
 
-        ds = ds.map_batches(
-            make_corpus_fetch_fn(corpus_ref, index_ref, frontier,
-                                 cfg.num_frontier_shards,
-                                 # pre-offered grants already consumed the
-                                 # 429 budgets shard-side (offer simulation)
-                                 rate_limited=None if pre_granted
-                                 else rate_limited,
-                                 max_retries=cfg.max_retries),
-            batch_format="pyarrow",
-        )
+        if cfg.fetcher == "http":
+            ds = ds.map_batches(
+                make_http_fetch_fn(frontier, cfg.num_frontier_shards,
+                                   ua_seed=cfg.rng_seed,
+                                   connect_timeout=cfg.http_connect_timeout,
+                                   read_timeout=cfg.http_read_timeout,
+                                   backoff_scale=cfg.http_backoff_scale),
+                batch_format="pyarrow",
+            )
+        else:
+            ds = ds.map_batches(
+                make_corpus_fetch_fn(corpus_ref, index_ref, frontier,
+                                     cfg.num_frontier_shards,
+                                     # pre-offered grants already consumed the
+                                     # 429 budgets shard-side (offer simulation)
+                                     rate_limited=None if pre_granted
+                                     else rate_limited,
+                                     max_retries=cfg.max_retries),
+                batch_format="pyarrow",
+            )
         ds = ds.map_batches(parse_batch_fn, batch_size=cfg.parse_batch_size,
                             batch_format="pyarrow")
         os.makedirs(ckpt, exist_ok=True)

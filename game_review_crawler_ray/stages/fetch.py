@@ -308,15 +308,157 @@ def decode_html(raw: bytes, content_type: str | None = None) -> str:
 
 
 class HttpFetcher:
-    """Live-network fetcher stub (no network in this sandbox).
+    """Live HTTP fetch stage (S1/T6) with the reference's session and
+    retry semantics (content_crawler.py:60-178), same batch signature as
+    ``CorpusFetcher``:
 
-    The network-independent pieces are REAL and tested — ``UARotator``
-    (per-request UA header) and ``decode_html`` (charset normalization,
-    shared with the parse stage); this class would add the session
-    keep-alive, timeouts and HTTP status handling
-    (content_crawler.py:60-178) inside a map_batches actor pool with the
-    same signature and frontier integration as CorpusFetcher.
+    - one keep-alive ``requests.Session`` per worker with the reference's
+      default header set (Accept/Accept-Language/gzip-deflate-no-brotli/
+      keep-alive, content_crawler.py:71-78);
+    - per-request User-Agent from the seeded ``UARotator`` (M13);
+    - (connect=10s, read=30s) timeouts (content_crawler.py:79-80);
+    - HTTP 429 -> exponential backoff via the host's frontier shard
+      (``report_429``: 2^retry seconds, suspension past max_retries —
+      the SHARD is the single source of truth so any fetch parallelism
+      still counts retries per host globally), sleep scaled by
+      ``backoff_scale`` (1.0 = the reference's 2,4,8 s inline sleeps;
+      tests use ~0.01), retry the same URL, and reset the counter on
+      eventual success (content_crawler.py:139-155);
+    - 404 -> "not_found" (parity with CorpusFetcher's corpus miss), other
+      >=400 -> "http_error", timeouts -> "timeout", transport errors ->
+      "error" (the reference logs and returns None for all of these);
+    - response bytes pass through RAW; charset handling stays in
+      ``decode_html`` at the parse stage (same cascade the reference
+      applies via response.encoding/apparent_encoding).
+
+    The sandbox has no external network; the loopback e2e tests
+    (tests/test_http_fetch.py) exercise this against a 127.0.0.1
+    ``http.server`` and pin byte-identical output vs CorpusFetcher.
     """
 
-    def __init__(self, *a, **kw):
-        raise NotImplementedError("no network access in this environment")
+    DEFAULT_HEADERS = {
+        "Accept": ("text/html,application/xhtml+xml,application/xml;q=0.9,"
+                   "image/webp,*/*;q=0.8"),
+        "Accept-Language": "ko-KR,ko;q=0.9,en-US;q=0.8,en;q=0.7",
+        "Accept-Encoding": "gzip, deflate",  # no brotli (reference parity)
+        "Connection": "keep-alive",
+        "Upgrade-Insecure-Requests": "1",
+    }
+
+    def __init__(self, frontier_handles: list, num_shards: int,
+                 ua_seed: int = 42, connect_timeout: float = 10.0,
+                 read_timeout: float = 30.0, backoff_scale: float = 1.0):
+        import requests
+
+        self._frontier = frontier_handles
+        self._num_shards = num_shards
+        self._ua = UARotator(seed=ua_seed)
+        self._timeout = (connect_timeout, read_timeout)
+        self._backoff_scale = backoff_scale
+        self.session = requests.Session()
+        self.session.trust_env = False   # no proxy env interference
+        self.session.headers.update(self.DEFAULT_HEADERS)
+
+    def _shard_of(self, host: str) -> int:
+        return url_hash64(host) % self._num_shards
+
+    def _fetch_one(self, url: str, host: str) -> tuple[bytes, str, int]:
+        """(raw body, status, attempts) for one URL, driving the shard's
+        429 state machine on real rate-limit responses."""
+        import time
+
+        import requests
+
+        shard = self._frontier[self._shard_of(host)]
+        attempt = 1
+        while True:
+            try:
+                resp = self.session.get(
+                    url, headers={"User-Agent": self._ua.next()},
+                    timeout=self._timeout)
+            except requests.exceptions.Timeout:
+                return (b"", "timeout", attempt)
+            except requests.exceptions.RequestException:
+                return (b"", "error", attempt)
+            if resp.status_code == 429:
+                retry_ok, backoff = ray.get(shard.report_429.remote(host))
+                if not retry_ok:
+                    return (b"", "suspended", attempt)
+                if backoff > 0 and self._backoff_scale > 0:
+                    time.sleep(backoff * self._backoff_scale)
+                attempt += 1
+                continue
+            if resp.status_code == 404:
+                return (b"", "not_found", attempt)
+            if resp.status_code >= 400:
+                return (b"", "http_error", attempt)
+            if attempt > 1:
+                # success after retries resets the counter
+                # (rate_limiter.py:259-268)
+                shard.report_success.remote(host)
+            return (resp.content, "ok", attempt)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from datetime import datetime, timezone
+
+        n = batch.num_rows
+        has_attempt = "attempt" in batch.column_names
+        if has_attempt:
+            batch = batch.drop_columns(["attempt"])
+        urls = batch.column("url").to_pylist() if n else []
+        hosts = batch.column("host").to_pylist() if n else []
+        suspended = self._suspended_hosts(hosts) if n else set()
+        htmls: list[bytes] = []
+        statuses: list[str] = []
+        attempts: list[int] = []
+        for url, host in zip(urls, hosts):
+            if host in suspended:
+                htmls.append(b"")
+                statuses.append("suspended")
+                attempts.append(0)
+                continue
+            html, status, attempt = self._fetch_one(url, host)
+            if status == "suspended":
+                suspended.add(host)
+            htmls.append(html)
+            statuses.append(status)
+            attempts.append(attempt)
+        now = datetime.now(timezone.utc).replace(tzinfo=None)
+        return (batch
+                .append_column("html", pa.array(htmls, pa.binary()))
+                .append_column("warc_ts", pa.array([now] * n,
+                                                   pa.timestamp("us")))
+                .append_column("status", pa.array(statuses, pa.string()))
+                .append_column("attempt", pa.array(attempts, pa.int32())))
+
+    # shared with CorpusFetcher: hosts suspended since their URLs were
+    # granted are skipped with one RPC per involved shard per batch
+    _suspended_hosts = CorpusFetcher._suspended_hosts
+
+
+_HTTP_CACHE: dict = {}
+
+
+def make_http_fetch_fn(frontier_handles, num_shards, ua_seed=42,
+                       connect_timeout=10.0, read_timeout=30.0,
+                       backoff_scale=1.0):
+    """Task-based live-HTTP fetch stage: one keep-alive session per Ray
+    worker process (same memoized-task-pool pattern as
+    ``make_corpus_fetch_fn`` — setup once per worker, no actor-pool
+    spin-up)."""
+    key = ("http", num_shards, ua_seed, connect_timeout, read_timeout,
+           backoff_scale)
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        fetcher = _HTTP_CACHE.get(key)
+        if fetcher is None:
+            fetcher = HttpFetcher(frontier_handles, num_shards,
+                                  ua_seed=ua_seed,
+                                  connect_timeout=connect_timeout,
+                                  read_timeout=read_timeout,
+                                  backoff_scale=backoff_scale)
+            _HTTP_CACHE.clear()
+            _HTTP_CACHE[key] = fetcher
+        return fetcher(batch)
+
+    return fetch
