@@ -139,16 +139,25 @@ def normalize_url_batch(urls: pa.Array | pa.ChunkedArray) -> pa.Array:
         urls = urls.combine_chunks()
     s = pc.utf8_lower(pc.utf8_trim_whitespace(urls))
     out = pc.replace_substring_regex(s, r"(?s)#.*$", "")
-    # bare trailing '?' (empty query) is dropped ONLY when it is the first
-    # '?' in the string — 'http://a/b?x=1?' keeps its query verbatim
-    # (urlparse: query='x=1?'); the unanchored r"/*\?$" used here before
-    # round 5 wrongly stripped the final '?' of a non-empty query
-    out = pc.replace_substring_regex(out, r"^([^?]*?)/*\?$", r"\1",
-                                     max_replacements=1)
-    out = pc.replace_substring_regex(out, r"^([^?]*?)/*\?", r"\1?",
-                                     max_replacements=1)
-    out = pc.replace_substring_regex(out, r"^([^?]*?)/+$", r"\1",
-                                     max_replacements=1)
+    # strip the path's trailing '/'s, which sit immediately before the
+    # FIRST '?': any match of /*\? ends at a '?', so the leftmost match
+    # (max_replacements=1) is exactly the path/query boundary. NOTE all
+    # passes here avoid RE2 capture groups + lazy quantifiers — the
+    # anchored-capture forms used before round 5 measured ~10x slower
+    # (2.0-2.6s vs 0.2-0.4s per pass on 3M urls)
+    out = pc.replace_substring_regex(out, r"/*\?", "?", max_replacements=1)
+    # a bare trailing '?' (empty query) is dropped ONLY when it is the
+    # string's sole '?' — 'http://a/b?x=1?' keeps its query verbatim
+    # (urlparse: query='x=1?'; the pre-r05 unanchored r"/*\?$" wrongly
+    # stripped the final '?' of a non-empty query)
+    only_q = pc.and_(pc.ends_with(out, "?"),
+                     pc.equal(pc.count_substring(out, "?"), 1))
+    out = pc.if_else(only_q,
+                     pc.replace_substring_regex(out, r"\?$", ""), out)
+    # no query at all -> the whole tail is path: strip trailing '/'s
+    no_q = pc.equal(pc.count_substring(out, "?"), 0)
+    out = pc.if_else(no_q,
+                     pc.replace_substring_regex(out, r"/+$", ""), out)
     weird = pc.match_substring_regex(s, _WEIRD_RE)
     if pc.any(weird).as_py():
         vals = out.to_pylist()

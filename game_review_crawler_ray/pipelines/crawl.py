@@ -238,8 +238,8 @@ def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
     num_shards = cfg.num_frontier_shards
 
     @ray.remote(num_returns=2)
-    def _annotate_slice(t: pa.Table):
-        out = annotate_urls(t)
+    def _annotate_slice(t: pa.Table, off: int, n: int):
+        out = annotate_urls(t.slice(off, n))
         sid = host_shard_ids(out.column("host"), num_shards)
         out = out.append_column("shard_id", pa.array(sid, pa.int64()))
         hashes = out.column("url_hash").to_numpy(zero_copy_only=False)
@@ -248,36 +248,51 @@ def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
         return out, (np.asarray(hashes, dtype=np.uint64), sid)
 
     @ray.remote
-    def _split_by_shard(n_shards: int, keep_mask, *tables):
+    def _keep_masks(*small):
+        """Global exact first-wins dedup barrier as ONE worker task: the
+        driver launches it and moves on instead of ray.get-ing the wave-1
+        keys and running np.unique serially (that get + unique + split
+        was ~0.5s of driver-serial floor at 3M seeds). Rows are in
+        seed_rank order, so the first occurrence per 64-bit url hash is
+        the min-seed_rank winner (D1) — the identical key the frontier's
+        exact seen-set uses. Returns one bool mask per wave-1 slice, or
+        None when there are no duplicates at all."""
+        hashes = np.concatenate([s[0] for s in small]) if small else \
+            np.array([], dtype=np.uint64)
+        _, first_idx = np.unique(hashes, return_index=True)
+        if len(first_idx) == len(hashes):
+            return None
+        keep = np.zeros(len(hashes), dtype=bool)
+        keep[first_idx] = True
+        parts, off = [], 0
+        for s in small:
+            parts.append(keep[off: off + len(s[0])])
+            off += len(s[0])
+        return parts
+
+    @ray.remote
+    def _split_by_shard(n_shards: int, masks, mask_idxs, *tables):
         t = pa.concat_tables(tables)
-        if keep_mask is not None:
-            t = t.filter(pa.array(keep_mask))
+        if masks is not None:
+            # masks = the _keep_masks result for ALL slices; this group
+            # selects its own slices' masks
+            t = t.filter(pa.array(
+                np.concatenate([masks[i] for i in mask_idxs])))
         sid = t.column("shard_id").to_numpy(zero_copy_only=False)
         t = t.drop_columns(["shard_id"])
         return tuple(t.filter(pa.array(sid == s)) for s in range(n_shards))
 
     n_slices = max(1, min(parallelism, seeds.num_rows // 2000 + 1))
     per = (seeds.num_rows + n_slices - 1) // n_slices
-    wave1 = [_annotate_slice.remote(seeds.slice(i * per, per))
+    # ONE plasma put of the seed table; tasks slice it zero-copy. Passing
+    # per-task slices inline made the driver serialize n_slices arrow
+    # tables back-to-back — ~1s of serial wave-launch time at 3M seeds.
+    seeds_ref = ray.put(seeds)
+    wave1 = [_annotate_slice.remote(seeds_ref, i * per, per)
              for i in range(n_slices)]
     tbl_refs = [w[0] for w in wave1]
-    small = ray.get([w[1] for w in wave1])
-
-    keep_parts: list | None = None
-    if exact_dedup:
-        # first-wins by 64-bit url hash: rows are in seed_rank order, so
-        # the first occurrence per hash equals the min-seed_rank winner
-        # (D1) — the identical key the frontier's exact seen-set uses.
-        hashes = np.concatenate([s[0] for s in small]) if small else \
-            np.array([], dtype=np.uint64)
-        _, first_idx = np.unique(hashes, return_index=True)
-        if len(first_idx) < len(hashes):
-            keep = np.zeros(len(hashes), dtype=bool)
-            keep[first_idx] = True
-            keep_parts, off = [], 0
-            for s in small:
-                keep_parts.append(keep[off: off + len(s[0])])
-                off += len(s[0])
+    masks_ref = (_keep_masks.remote(*[w[1] for w in wave1])
+                 if exact_dedup else None)
 
     # wave 2 groups CONSECUTIVE annotate slices so each (group, shard)
     # block lands near 8k rows — the measured sweet spot: blocks carry
@@ -295,10 +310,9 @@ def prep_seed_blocks(seeds: pa.Table, cfg: CrawlConfig, parallelism: int,
     groups = np.array_split(np.arange(n_slices), n_groups)
     wave2 = []
     for idxs in groups:
-        masks = (np.concatenate([keep_parts[i] for i in idxs])
-                 if keep_parts else None)
         wave2.append(_split_by_shard.options(num_returns=num_shards).remote(
-            num_shards, masks, *[tbl_refs[i] for i in idxs]))
+            num_shards, masks_ref, [int(i) for i in idxs],
+            *[tbl_refs[i] for i in idxs]))
     if num_shards == 1:  # num_returns=1 yields a bare ref, not a list
         wave2 = [[r] for r in wave2]
     # shard-major, seed-order-minor ref layout: every block holds one
