@@ -43,7 +43,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from game_review_crawler_ray.pipelines import (
-        analytics, filters, issues, textops,
+        analytics, dashboard, filters, issues, textops,
     )
 
     out: dict[str, Callable[[str], Any]] = {}
@@ -51,12 +51,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(textops.QUERIES)
     out.update(issues.QUERIES)
     out.update(filters.QUERIES)
+    out.update(dashboard.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from game_review_crawler_ray.pipelines import (
-        analytics, filters, issues, textops,
+        analytics, dashboard, filters, issues, textops,
     )
 
     out: dict[str, str] = {}
@@ -64,4 +65,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(textops.ORACLE_SQL)
     out.update(issues.ORACLE_SQL)
     out.update(filters.ORACLE_SQL)
+    out.update(dashboard.ORACLE_SQL)
     return out

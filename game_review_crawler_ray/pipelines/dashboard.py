@@ -30,6 +30,7 @@ explicitly-limited post lists a route returns.
 
 from __future__ import annotations
 
+import os
 from datetime import datetime
 
 import numpy as np
@@ -386,6 +387,86 @@ def latest_game_analysis(store: AnalysisStore, game_id: str) -> dict | None:
 # ---------------------------------------------------------------------------
 # /api/game/<id>/sentiment/trend (app.py:1411-1543)
 # ---------------------------------------------------------------------------
+
+def q_dashboard_games(sf_dir: str) -> pa.Table:
+    """The /api/games payload as a flat SQL-checkable table over the
+    cached crawl output (sites joined to one comma-separated string)."""
+    from .textops import _crawl_out
+
+    posts = ray.data.read_parquet(
+        os.path.join(_crawl_out(sf_dir), "posts"),
+        columns=["keyword", "site", "view_count", "like_count",
+                 "created_at", "comments"])
+    rows = games_summary(posts)
+    return pa.table({
+        "game_id": pa.array([r["game_id"] for r in rows], pa.string()),
+        "keyword": pa.array([r["keyword"] for r in rows], pa.string()),
+        "post_count": pa.array([r["post_count"] for r in rows], pa.int64()),
+        "latest_date": pa.array([r["latest_date"] for r in rows], pa.string()),
+        "total_views": pa.array([r["total_views"] for r in rows], pa.int64()),
+        "total_comments": pa.array([r["total_comments"] for r in rows],
+                                   pa.int64()),
+        "sites": pa.array([",".join(r["sites"]) for r in rows], pa.string()),
+    })
+
+
+def q_dashboard_stats(sf_dir: str) -> pa.Table:
+    """The /api/stats totals as a one-row SQL-checkable table."""
+    from .textops import _crawl_out
+
+    posts = ray.data.read_parquet(
+        os.path.join(_crawl_out(sf_dir), "posts"),
+        columns=["keyword", "site", "view_count", "like_count",
+                 "created_at", "comments"])
+    s = stats(posts)
+    return pa.table({
+        "total_posts": pa.array([s["total_posts"]], pa.int64()),
+        "total_comments": pa.array([s["total_comments"]], pa.int64()),
+        "total_views": pa.array([s["total_views"]], pa.int64()),
+        "total_likes": pa.array([s["total_likes"]], pa.int64()),
+    })
+
+
+# the sf0.01 correctness gate's cached crawl output (same contract as
+# issues._CRAWL01_POSTS: the Ray query runs first and materializes it)
+_CRAWL01_POSTS = "/tmp/grc_crawl/run_n10000_h50/posts/*.parquet"
+
+SQL_DASHBOARD_GAMES = f"""
+WITH p AS (
+    SELECT keyword, site, COALESCE(view_count, 0) AS views,
+           len(comments) AS n_comments, created_at
+    FROM read_parquet('{_CRAWL01_POSTS}')
+    WHERE keyword IS NOT NULL AND keyword <> ''
+)
+SELECT lower(replace(keyword, ' ', '-')) AS game_id,
+       keyword,
+       count(*) AS post_count,
+       strftime(max(created_at), '%Y-%m-%d') AS latest_date,
+       CAST(sum(views) AS BIGINT) AS total_views,
+       CAST(sum(n_comments) AS BIGINT) AS total_comments,
+       string_agg(DISTINCT site, ',' ORDER BY site) AS sites
+FROM p GROUP BY keyword
+ORDER BY post_count DESC, keyword
+"""
+
+SQL_DASHBOARD_STATS = f"""
+SELECT count(*) AS total_posts,
+       CAST(sum(len(comments)) AS BIGINT) AS total_comments,
+       CAST(sum(COALESCE(view_count, 0)) AS BIGINT) AS total_views,
+       CAST(sum(COALESCE(like_count, 0)) AS BIGINT) AS total_likes
+FROM read_parquet('{_CRAWL01_POSTS}')
+"""
+
+QUERIES = {
+    "dashboard_games": q_dashboard_games,
+    "dashboard_stats": q_dashboard_stats,
+}
+
+ORACLE_SQL = {
+    "dashboard_games": SQL_DASHBOARD_GAMES,
+    "dashboard_stats": SQL_DASHBOARD_STATS,
+}
+
 
 def game_sentiment_trend(posts: ray.data.Dataset, game_id: str,
                          unit: str = "daily") -> dict | None:
