@@ -13,11 +13,21 @@ by it is the engine's algorithmic scaling quality.
 
 Usage:
     python tools/scaling_ceiling.py            # interleaved 8 vs 32
+    python tools/scaling_ceiling.py --with-sink  # augmented ceiling (below)
     GRAFT_SCALING_LEVELS=4,16 python tools/scaling_ceiling.py
     python tools/scaling_ceiling.py --one-level 8   # (internal)
 
 Prints one JSON line; record the result in BASELINE.md next to the
 engine's bench.py --scaling numbers.
+
+``--with-sink`` (augmented ceiling): same raw-task kernel plus the
+engine's per-page sink work — assemble the parsed records into an Arrow
+table and write zstd parquet to tmpfs, exactly what the crawl's fused
+operator does after parsing. Still no Ray Data, no shuffles, no driver
+work. The delta between the pure ceiling and this variant bounds how
+much of the engine-vs-ceiling gap is the workload's inherent byte
+footprint (memory-bandwidth of row assembly + compression under 32
+active cores) rather than engine orchestration.
 """
 
 from __future__ import annotations
@@ -41,7 +51,9 @@ def _corpus_dir() -> str:
     return ensure_bench_corpus(sf)
 
 
-def _one_level(num_cpus: int) -> None:
+def _one_level(num_cpus: int, with_sink: bool = False) -> None:
+    import shutil
+
     import pyarrow as pa
     import pyarrow.parquet as pq
     import ray
@@ -63,30 +75,57 @@ def _one_level(num_cpus: int) -> None:
                                  c.column("html").to_pylist())))
     del pages
 
+    sink_dir = "/dev/shm/grc_ceiling_sink"
+
     @ray.remote
-    def parse_chunk(chunk) -> int:
+    def parse_chunk(chunk, chunk_id: int, sink: str | None) -> int:
         from game_review_crawler_ray.functions.parsers import (
             ParseFailure, ParserRegistry, parse_page,
         )
+        from game_review_crawler_ray.stages.parse import POST_COLUMNS
+
         urls, htmls = chunk
         reg = ParserRegistry()
         ok = 0
+        records = [] if sink else None
         for u, h in zip(urls, htmls):
             try:
-                parse_page(h.decode("utf-8") if isinstance(h, bytes) else h,
-                           u, registry=reg)
+                rec = parse_page(h.decode("utf-8") if isinstance(h, bytes)
+                                 else h, u, registry=reg)
                 ok += 1
+                if sink is not None:
+                    records.append(rec)
             except ParseFailure:
                 pass
+        if sink is not None and records:
+            # the same sink work the crawl's fused op does per task:
+            # columnar assembly with the engine's own POST_COLUMNS types
+            # (comments as list<struct>, created_at as timestamp) + zstd
+            # parquet — byte-for-byte the posts sink's encoder workload
+            names = ["url", "keyword"]
+            arrays = [pa.array([r["url"] for r in records], pa.string()),
+                      pa.array([r["keyword"] for r in records], pa.string())]
+            for name, typ in POST_COLUMNS:
+                names.append(name)
+                arrays.append(pa.array([r[name] for r in records], typ))
+            pq.write_table(pa.Table.from_arrays(arrays, names=names),
+                           os.path.join(sink, f"part-{chunk_id:04d}.parquet"),
+                           compression="zstd")
         return ok
 
     def wave() -> float:
+        if with_sink:
+            shutil.rmtree(sink_dir, ignore_errors=True)
+            os.makedirs(sink_dir, exist_ok=True)
         t0 = time.perf_counter()
-        ray.get([parse_chunk.remote(r) for r in refs])
+        ray.get([parse_chunk.remote(r, i, sink_dir if with_sink else None)
+                 for i, r in enumerate(refs)])
         return time.perf_counter() - t0
 
     wave()                       # warmup: worker pool + imports
     best = min(wave() for _ in range(2))
+    if with_sink:
+        shutil.rmtree(sink_dir, ignore_errors=True)
     print(json.dumps({"num_cpus": num_cpus, "pages": n,
                       "pages_per_sec": round(n / best, 1),
                       "elapsed_s": round(best, 3)}))
@@ -94,8 +133,10 @@ def _one_level(num_cpus: int) -> None:
 
 
 def main() -> None:
+    with_sink = "--with-sink" in sys.argv
     if "--one-level" in sys.argv:
-        _one_level(int(sys.argv[sys.argv.index("--one-level") + 1]))
+        _one_level(int(sys.argv[sys.argv.index("--one-level") + 1]),
+                   with_sink=with_sink)
         return
 
     reps = int(os.environ.get("GRAFT_SCALING_REPS", "2"))
@@ -105,9 +146,11 @@ def main() -> None:
     series: dict[int, list[float]] = {levels[0]: [], levels[1]: []}
     for _ in range(reps):
         for cpus in levels:
+            cmd = [sys.executable, __file__, "--one-level", str(cpus)]
+            if with_sink:
+                cmd.append("--with-sink")
             proc = subprocess.run(
-                [sys.executable, __file__, "--one-level", str(cpus)],
-                capture_output=True, text=True, timeout=3600,
+                cmd, capture_output=True, text=True, timeout=3600,
                 env=os.environ.copy(),
             )
             line = proc.stdout.strip().splitlines()[-1]
@@ -115,9 +158,12 @@ def main() -> None:
     lo, hi = levels
     thr_lo, thr_hi = max(series[lo]), max(series[hi])
     eff = (thr_hi / thr_lo) / (hi / lo)
+    kind = ("parse+sink kernel scaling (augmented ceiling: adds the "
+            "engine's row-assembly + zstd parquet sink work)") if with_sink \
+        else "parse kernel scaling"
     print(json.dumps({
-        "metric": f"pure-compute parse kernel scaling {lo}->{hi} cpus "
-                  "(machine ceiling)",
+        "metric": f"pure-compute {kind} {lo}->{hi} cpus"
+                  + ("" if with_sink else " (machine ceiling)"),
         "value": round(eff, 4), "unit": "efficiency",
         f"pages_per_sec_{lo}": round(thr_lo, 1),
         f"pages_per_sec_{hi}": round(thr_hi, 1),
