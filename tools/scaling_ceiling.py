@@ -132,6 +132,33 @@ def _one_level(num_cpus: int, with_sink: bool = False) -> None:
     ray.shutdown()
 
 
+def _run_one_level(cmd: list[str]) -> float:
+    """Run one --one-level subprocess and extract its pages_per_sec.
+
+    Ray occasionally emits warnings on stdout after (or instead of) the
+    result line, which killed two measurement windows in round 5 — so scan
+    stdout for the JSON result rather than trusting the last line, and
+    retry a crashed subprocess once before giving up.
+    """
+    stderr_tail = ""
+    for _ in range(2):
+        proc = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600,
+            env=os.environ.copy(),
+        )
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                obj = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(obj, dict) and "pages_per_sec" in obj:
+                return obj["pages_per_sec"]
+        stderr_tail = (proc.stderr or "")[-2000:]
+    raise RuntimeError(
+        f"{' '.join(cmd)} produced no JSON result line in 2 attempts; "
+        f"stderr tail:\n{stderr_tail}")
+
+
 def main() -> None:
     with_sink = "--with-sink" in sys.argv
     if "--one-level" in sys.argv:
@@ -149,12 +176,7 @@ def main() -> None:
             cmd = [sys.executable, __file__, "--one-level", str(cpus)]
             if with_sink:
                 cmd.append("--with-sink")
-            proc = subprocess.run(
-                cmd, capture_output=True, text=True, timeout=3600,
-                env=os.environ.copy(),
-            )
-            line = proc.stdout.strip().splitlines()[-1]
-            series[cpus].append(json.loads(line)["pages_per_sec"])
+            series[cpus].append(_run_one_level(cmd))
     lo, hi = levels
     thr_lo, thr_hi = max(series[lo]), max(series[hi])
     eff = (thr_hi / thr_lo) / (hi / lo)
